@@ -1,0 +1,30 @@
+#!/usr/bin/env python
+"""Benchmark entry: 3-D KDK grid-update throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no benchmark numbers (BASELINE.md), so
+`vs_baseline` is the fraction of the analytic speed-of-light HBM roofline
+for this chip (a KDK step is bandwidth-bound: 6 grid FFTs + elementwise
+phase rotations over the complex grid).
+"""
+
+import argparse
+import sys
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--size", type=int, default=256)
+    parser.add_argument("--dims", type=int, default=3)
+    parser.add_argument("--streams", type=int, default=1)
+    parser.add_argument("--steps", type=int, default=20)
+    args = parser.parse_args()
+
+    from msm_tpu.utils import benchmarks
+
+    benchmarks.main(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

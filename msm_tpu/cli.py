@@ -1,0 +1,131 @@
+"""Command-line interface.
+
+Mirrors the reference binaries (`simulator/src/main.rs:9-17`,
+`synthesizer/src/main.rs:18-28`):
+
+    python -m msm_tpu simulate  --toml path.toml [--verbose] [--test]
+    python -m msm_tpu synthesize --toml path.toml [--verbosity LEVEL]
+    python -m msm_tpu bench ...
+
+plus runtime flags replacing the reference's compile-time cargo features
+(precision, stream batching, data root).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--toml", required=True, help="path to the simulation toml")
+    p.add_argument(
+        "--data-root", default="sim-data", help="output root (default sim-data)"
+    )
+    p.add_argument(
+        "--precision",
+        choices=("f32", "f64"),
+        default="f32",
+        help="runtime precision (f64 requires x64-capable backend, e.g. CPU)",
+    )
+
+
+def _dtype_for(precision: str):
+    import jax
+
+    if precision == "f64":
+        jax.config.update("jax_enable_x64", True)
+        import jax.numpy as jnp
+
+        return jnp.complex128
+    import jax.numpy as jnp
+
+    return jnp.complex64
+
+
+def cmd_simulate(args) -> int:
+    from . import config as cfg
+    from . import simulator
+
+    dtype = _dtype_for(args.precision)
+    toml = cfg.read_toml(args.toml)
+    start = time.monotonic()
+    simulator.run_config(
+        toml,
+        dtype=dtype,
+        data_root=args.data_root,
+        verbose=args.verbose,
+        test_only=args.test,
+        batch_streams=not args.sequential_streams,
+        strict_alias=args.strict_alias,
+    )
+    n = cfg.stream_count(toml)
+    if n > 1:
+        print(f"Finished all streams in {time.monotonic() - start:.1f} seconds")
+    return 0
+
+
+def cmd_synthesize(args) -> int:
+    from . import config as cfg
+    from .synthesis import synthesize_toml
+
+    dtype = _dtype_for(args.precision)
+    toml = cfg.read_toml(args.toml)
+    synthesize_toml(toml, data_root=args.data_root, dtype=dtype)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from .utils import benchmarks
+
+    benchmarks.main(args)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(prog="msm_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    sim = sub.add_parser("simulate", help="run the simulator (msm-simulator)")
+    _add_common(sim)
+    sim.add_argument("--verbose", "-v", action="store_true")
+    sim.add_argument(
+        "--test", action="store_true", help="construct sims without evolving"
+    )
+    sim.add_argument(
+        "--sequential-streams",
+        action="store_true",
+        help="run streams one-by-one (reference semantics) instead of batched",
+    )
+    sim.add_argument(
+        "--strict-alias",
+        action="store_true",
+        help="abort on Fourier aliasing instead of freezing the stream",
+    )
+    sim.set_defaults(fn=cmd_simulate)
+
+    syn = sub.add_parser("synthesize", help="combine stream dumps (msm-synthesizer)")
+    _add_common(syn)
+    syn.add_argument("--verbosity", default="off")
+    syn.set_defaults(fn=cmd_synthesize)
+
+    bench = sub.add_parser("bench", help="run performance benchmarks")
+    bench.add_argument("--size", type=int, default=256)
+    bench.add_argument("--dims", type=int, default=3)
+    bench.add_argument("--streams", type=int, default=1)
+    bench.add_argument("--steps", type=int, default=20)
+    bench.set_defaults(fn=cmd_bench)
+
+    return parser
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s: %(message)s")
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,122 @@
+"""npy pair I/O in the reference's on-disk layout.
+
+A complex grid is stored as two npy files `{path}_real` / `{path}_imag`
+(exact filenames, no `.npy` extension) shaped 4-D, matching
+`complex_array_to_disk` (`simulator/src/utils/io.rs:34-97`) and
+`load_complex`/`dump_complex` (`synthesizer/src/lib.rs:38-103`).
+
+Writes go through a bounded async pool: the device->host transfer happens on
+the submitting thread (so the device buffer can be reused immediately) and
+the file writes run on worker threads, capped at MAX_CONCURRENT_GRID_WRITES
+in-flight grids like the reference (`simulator/src/simulation_object.rs:39`).
+When the native C++ writer (`msm_tpu.io.native`) is available it is used for
+the file writes; the pure-Python path is the fallback.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+
+import numpy as np
+
+# Reference caps in-flight grid writes at 16 (x2 files each).
+MAX_CONCURRENT_GRID_WRITES = 16
+
+
+def write_npy_exact(path: str, arr: np.ndarray) -> None:
+    """Write an npy file at *exactly* `path` (numpy's save() would append .npy)."""
+    arr = np.ascontiguousarray(arr)
+    try:
+        from . import native
+
+        if native.available():
+            native.write_npy(path, arr)
+            return
+    except ImportError:
+        pass
+    with open(path, "wb") as f:
+        np.lib.format.write_array(f, arr, version=(1, 0))
+
+
+def read_npy_exact(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        return np.lib.format.read_array(f)
+
+
+def write_complex_pair(path_base: str, arr: np.ndarray) -> None:
+    """Write `{path_base}_real` and `{path_base}_imag` npy files."""
+    write_npy_exact(path_base + "_real", np.ascontiguousarray(arr.real))
+    write_npy_exact(path_base + "_imag", np.ascontiguousarray(arr.imag))
+
+
+def load_complex_pair(path_base: str, dtype=np.complex128) -> np.ndarray:
+    """Load a complex grid from its `_real` / `_imag` pair."""
+    real = read_npy_exact(path_base + "_real")
+    imag = read_npy_exact(path_base + "_imag")
+    return (real + 1j * imag).astype(dtype)
+
+
+class AsyncGridWriter:
+    """Bounded asynchronous writer pool for grid dumps.
+
+    `submit` blocks only when MAX_CONCURRENT_GRID_WRITES grids are already in
+    flight (mirroring the reference's throttling loop,
+    `simulation_object.rs:1123-1147`); `wait` joins all outstanding writes
+    (end-of-run join, `:638-658`).
+    """
+
+    def __init__(
+        self,
+        max_concurrent: int = MAX_CONCURRENT_GRID_WRITES,
+        workers: int = 8,
+    ):
+        self._pool = ThreadPoolExecutor(max_workers=workers)
+        self._slots = threading.Semaphore(max_concurrent)
+        self._pending: list[Future] = []
+        self._lock = threading.Lock()
+
+    def submit(self, path_base: str, arr: np.ndarray) -> None:
+        """Queue a complex grid for writing as an npy pair."""
+        self._slots.acquire()
+
+        def work():
+            try:
+                write_complex_pair(path_base, arr)
+            finally:
+                self._slots.release()
+
+        fut = self._pool.submit(work)
+        with self._lock:
+            self._pending = [f for f in self._pending if not f.done()]
+            self._pending.append(fut)
+
+    def wait(self) -> None:
+        """Block until all queued writes have completed (raises on failure)."""
+        with self._lock:
+            pending, self._pending = self._pending, []
+        for fut in pending:
+            fut.result()
+
+    def close(self) -> None:
+        self.wait()
+        self._pool.shutdown(wait=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def dump_dir(sim_name: str, data_root: str = "sim-data") -> str:
+    """Per-sim dump directory `sim-data/{sim_name}` (simulation_object.rs:1116-1120)."""
+    path = os.path.join(data_root, sim_name)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def psi_path(sim_dir: str, dump_index: int, field: str = "psi") -> str:
+    """Dump basename `{field}_{dump:05}` (simulation_object.rs:1153-1164)."""
+    return os.path.join(sim_dir, f"{field}_{dump_index:05d}")

@@ -1,0 +1,109 @@
+"""Device mesh construction and state sharding.
+
+The reference is strictly single-device for simulation (`main.rs:23`
+`set_device(0)`) and uses MPI only for offline analysis. Here the two
+physical parallelism axes of the problem become mesh axes:
+
+- ``stream``: the quantum-sampling ensemble (embarrassingly parallel; the
+  reference runs seeds sequentially, `main.rs:43-79`). Pure data parallel.
+- ``x``: spatial decomposition of the grid along its first (slowest) axis —
+  the field-simulation analogue of sequence parallelism. FFTs across the
+  sharded axis go through `msm_tpu.parallel.pfft` (all_to_all transposes
+  over ICI) or XLA SPMD resharding.
+
+Multi-host: `jax.distributed.initialize` + the same mesh over all devices;
+host-side work (dump writing, offline synthesis) is split by process index
+(`local_dump_range`), replacing the reference's MPI Balancer
+(`synthesizer/src/balancer.rs:75-83`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+STREAM_AXIS = "stream"
+SPACE_AXIS = "x"
+
+
+def _split_devices(n: int, max_space: int = 4) -> tuple[int, int]:
+    """Factor n devices into (stream, space) mesh dims.
+
+    Space sharding is capped (FFT transposes cost bandwidth; streams are
+    free parallelism), preferring the largest power-of-two space dim <=
+    max_space that divides n.
+    """
+    space = 1
+    while space * 2 <= max_space and n % (space * 2) == 0:
+        space *= 2
+    return n // space, space
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+    max_space: int = 4,
+) -> tuple[Mesh, tuple[str, str]]:
+    """Build a (stream, x) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    n_stream, n_space = _split_devices(n, max_space)
+    arr = np.asarray(devices).reshape(n_stream, n_space)
+    return Mesh(arr, (STREAM_AXIS, SPACE_AXIS)), (STREAM_AXIS, SPACE_AXIS)
+
+
+def grid_spec(dims: int, batched: bool, shard_space: bool = True) -> P:
+    """PartitionSpec for a (maybe stream-batched) spatial grid array."""
+    spatial: tuple = (SPACE_AXIS,) + (None,) * (dims - 1) if shard_space else (None,) * dims
+    if batched:
+        return P(STREAM_AXIS, *spatial)
+    return P(*spatial)
+
+
+def scalar_spec(batched: bool) -> P:
+    return P(STREAM_AXIS) if batched else P()
+
+
+def shard_state(state, mesh: Mesh, dims: int, shard_space: bool = True):
+    """Lay a SimState out on the mesh: grids (stream, x)-sharded, per-stream
+    scalars stream-sharded."""
+    batched = state.psi.ndim > dims
+    gspec = NamedSharding(mesh, grid_spec(dims, batched, shard_space))
+    sspec = NamedSharding(mesh, scalar_spec(batched))
+
+    def place(x, spec):
+        return jax.device_put(x, spec)
+
+    import dataclasses
+
+    return dataclasses.replace(
+        state,
+        psi=place(state.psi, gspec),
+        psik=place(state.psik, gspec),
+        time=place(state.time, sspec),
+        tau=place(state.tau, sspec),
+        a=place(state.a, sspec),
+        current_dumps=place(state.current_dumps, sspec),
+        n_steps=place(state.n_steps, sspec),
+        just_dumped=place(state.just_dumped, sspec),
+        aliased=place(state.aliased, sspec),
+        alias_mass=place(state.alias_mass, sspec),
+    )
+
+
+def local_dump_range(dumps: Sequence[int]) -> Sequence[int]:
+    """Contiguous chunk of the dump list owned by this host process.
+
+    Multi-host analogue of Balancer::local_set
+    (`synthesizer/src/balancer.rs:75-83`).
+    """
+    n_proc = jax.process_count()
+    rank = jax.process_index()
+    chunk = (len(dumps) + n_proc - 1) // n_proc
+    return dumps[rank * chunk : (rank + 1) * chunk]

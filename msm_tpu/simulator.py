@@ -1,0 +1,296 @@
+"""Simulation drivers: single-run and batched stream-ensemble execution.
+
+TPU-native counterpart of `simulator/src/main.rs:21-89`. Two execution modes:
+
+- `run_single`: one stream (or the MFT), reference-sequential semantics.
+- `run_config`: the TPU-first path — every stream of the ensemble plus the
+  MFT run as ONE batched state, vmapped over a leading stream axis. The
+  reference runs a full simulation per seed sequentially on one GPU
+  (`main.rs:43-79`); here the ensemble advances together, chunked from dump
+  boundary to dump boundary inside jit, and the host only does npy writes.
+
+Aliasing in a batched run freezes and reports the offending stream instead
+of killing the batch (the reference panics: `simulation_object.rs:607-617`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time as _time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (
+    SimulationParameters,
+    TomlParameters,
+    iter_stream_parameters,
+    resolve_parameters,
+)
+from .errors import FourierAliasingError
+from .io.checkpoint import load_manifest, write_manifest
+from .io.npy import AsyncGridWriter, dump_dir, load_complex_pair, psi_path
+from .models.ics import build_ics
+from .models.sampling import sample_quantum_perturbation, sample_stream_batch
+from .stepper import SimState, Stepper
+
+log = logging.getLogger(__name__)
+
+
+def _dump_array(psi_np: np.ndarray, params: SimulationParameters) -> np.ndarray:
+    """Reshape a grid to the 4-D npy dump shape (io.rs:34-97)."""
+    return np.ascontiguousarray(psi_np).reshape(params.dump_shape)
+
+
+class SimulationRun:
+    """One named simulation run: dump paths, manifests, psi dumps."""
+
+    def __init__(
+        self,
+        params: SimulationParameters,
+        data_root: str = "sim-data",
+        writer: Optional[AsyncGridWriter] = None,
+    ):
+        self.params = params
+        self.dir = dump_dir(params.sim_name, data_root)
+        self.writer = writer
+
+    def dump_field(self, psi_np: np.ndarray, dump_index: int, field: str = "psi"):
+        base = psi_path(self.dir, dump_index, field)
+        arr = _dump_array(psi_np, self.params)
+        if self.writer is not None:
+            self.writer.submit(base, arr)
+        else:
+            from .io.npy import write_complex_pair
+
+            write_complex_pair(base, arr)
+
+    def write_manifest(self, state_slice: dict):
+        write_manifest(self.dir, **state_slice)
+
+
+def _state_scalars(state: SimState, i: Optional[int] = None) -> dict:
+    def pick(x):
+        x = np.asarray(x)
+        return x if i is None else x[i]
+
+    return {
+        "current_dumps": int(pick(state.current_dumps)),
+        "time": float(pick(state.time)),
+        "tau": float(pick(state.tau)),
+        "a": float(pick(state.a)),
+        "n_steps": int(pick(state.n_steps)),
+    }
+
+
+def _report_aliasing(
+    params: SimulationParameters, state: SimState, i: Optional[int], strict: bool
+):
+    mass = float(np.asarray(state.alias_mass) if i is None else np.asarray(state.alias_mass)[i])
+    err = FourierAliasingError(
+        threshold=params.alias_threshold,
+        k2_cutoff=params.k2_cutoff,
+        p_mass=mass,
+        stream=params.sim_name,
+    )
+    if strict:
+        raise err
+    log.error("%s", err)
+
+
+def run_single(
+    params: SimulationParameters,
+    dtype=jnp.complex64,
+    data_root: str = "sim-data",
+    verbose: bool = False,
+    test_only: bool = False,
+    resume: bool = False,
+    strict_alias: bool = True,
+    writer: Optional[AsyncGridWriter] = None,
+) -> SimState:
+    """Run one simulation to completion, dumping psi at every boundary."""
+    stepper = Stepper(params, dtype)
+    run = SimulationRun(params, data_root, writer)
+
+    start_dump = 0
+    if resume:
+        manifest = load_manifest(run.dir)
+        if manifest is not None and manifest["current_dumps"] > 0:
+            start_dump = manifest["current_dumps"]
+            psi0 = load_complex_pair(psi_path(run.dir, start_dump)).reshape(
+                params.shape
+            )
+            state = stepper.init_state(psi0)
+            state = dataclasses.replace(
+                state,
+                time=jnp.asarray(manifest["time"], stepper.tdtype),
+                tau=jnp.asarray(manifest["tau"], stepper.tdtype),
+                a=jnp.asarray(manifest["a"], stepper.tdtype),
+                current_dumps=jnp.asarray(start_dump, jnp.int32),
+                n_steps=jnp.asarray(manifest["n_steps"], jnp.int32),
+            )
+            log.info("resuming %s from dump %d", params.sim_name, start_dump)
+        else:
+            resume = False
+    if not resume:
+        psi0 = build_ics(params)
+        if params.sampling is not None:
+            psi0 = sample_quantum_perturbation(
+                jnp.asarray(psi0, dtype),
+                params,
+                params.sampling.seed,
+                params.sampling.scheme,
+            )
+        state = stepper.init_state(psi0)
+
+    if verbose:
+        print(f"Working on simulation {params.sim_name}")
+        print(params)
+
+    if test_only:
+        return state
+
+    own_writer = writer is None
+    if own_writer:
+        writer = AsyncGridWriter()
+        run.writer = writer
+
+    t_start = _time.monotonic()
+    try:
+        if not resume:
+            run.dump_field(np.asarray(state.psi), 0)
+            if params.output_potential:
+                run.dump_field(np.asarray(stepper.potential(state.psi)), 0, "potential")
+            run.write_manifest(_state_scalars(state))
+
+        while stepper.not_finished(state):
+            state = stepper.evolve_to_next_dump(state)
+            if bool(state.aliased):
+                _report_aliasing(params, state, None, strict_alias)
+                break
+            state = stepper.snap_after_dump(state)
+            idx = int(state.current_dumps)
+            run.dump_field(np.asarray(state.psi), idx)
+            if params.output_potential:
+                run.dump_field(
+                    np.asarray(stepper.potential(state.psi)), idx, "potential"
+                )
+            scalars = _state_scalars(state)
+            scalars["wall_time_ms"] = (_time.monotonic() - t_start) * 1e3
+            run.write_manifest(scalars)
+            if verbose:
+                print(
+                    f"({params.sim_name}) dump {idx}/{params.num_data_dumps} "
+                    f"t = {scalars['time']:.6g}"
+                )
+    finally:
+        if own_writer:
+            writer.close()
+    return state
+
+
+def run_config(
+    toml: TomlParameters,
+    dtype=jnp.complex64,
+    data_root: str = "sim-data",
+    verbose: bool = False,
+    test_only: bool = False,
+    batch_streams: bool = True,
+    strict_alias: bool = False,
+) -> Sequence[SimState]:
+    """Run every stream of a config plus the MFT.
+
+    With `batch_streams` (default) the whole ensemble advances as one
+    vmapped state; otherwise runs are sequential like the reference.
+    """
+    all_params = list(iter_stream_parameters(toml))
+    if not batch_streams or len(all_params) == 1:
+        states = []
+        with AsyncGridWriter() as writer:
+            for p in all_params:
+                states.append(
+                    run_single(
+                        p,
+                        dtype,
+                        data_root,
+                        verbose,
+                        test_only,
+                        strict_alias=strict_alias and len(all_params) == 1,
+                        writer=writer,
+                    )
+                )
+        return states
+
+    # ---------------- batched ensemble path ----------------
+    mft_params = all_params[-1]
+    stream_params = all_params[:-1]
+    stepper = Stepper(mft_params, dtype)
+
+    base_psi = jnp.asarray(np.asarray(build_ics(mft_params)).astype(dtype))
+    seeds = jnp.asarray([p.sampling.seed for p in stream_params], jnp.uint32)
+    scheme = stream_params[0].sampling.scheme
+    sampled = sample_stream_batch(base_psi, mft_params, seeds, scheme)
+    psi_batch = jax.jit(lambda a, b: jnp.concatenate([a, b[None]], axis=0))(
+        sampled, base_psi
+    )
+
+    state = stepper.init_state(psi_batch, batched=True)
+    runs = [SimulationRun(p, data_root) for p in all_params]
+
+    if verbose:
+        print(
+            f"Running {len(stream_params)} {scheme} streams + MFT "
+            f"as one batch of {len(all_params)}"
+        )
+    if test_only:
+        return [state]
+
+    n = len(all_params)
+    reported_alias = [False] * n
+    t_start = _time.monotonic()
+    with AsyncGridWriter() as writer:
+        for r in runs:
+            r.writer = writer
+
+        psi_np = np.asarray(state.psi)
+        for i, r in enumerate(runs):
+            r.dump_field(psi_np[i], 0)
+            r.write_manifest(_state_scalars(state, i))
+
+        while stepper.not_finished(state):
+            state = stepper.evolve_to_next_dump(state, batched=True)
+            aliased = np.asarray(state.aliased)
+            just_dumped = np.asarray(state.just_dumped)
+            state = stepper.snap_after_dump(state)
+            psi_np = np.asarray(state.psi)
+            dumps_np = np.asarray(state.current_dumps)
+            for i, r in enumerate(runs):
+                if aliased[i]:
+                    if not reported_alias[i]:
+                        _report_aliasing(all_params[i], state, i, strict_alias)
+                        reported_alias[i] = True
+                    continue
+                if just_dumped[i]:
+                    r.dump_field(psi_np[i], int(dumps_np[i]))
+                    scalars = _state_scalars(state, i)
+                    scalars["wall_time_ms"] = (_time.monotonic() - t_start) * 1e3
+                    r.write_manifest(scalars)
+            if verbose:
+                done = int(dumps_np.min())
+                print(
+                    f"({toml.sim_name}) ensemble at dump >= {done}/"
+                    f"{toml.num_data_dumps}"
+                )
+    return [state]
+
+
+def run_toml(
+    toml: TomlParameters,
+    dtype=jnp.complex64,
+    **kwargs,
+):
+    """Entry point matching `msm-simulator --toml` semantics."""
+    return run_config(toml, dtype, **kwargs)

@@ -1,0 +1,216 @@
+"""Ensemble synthesis: reduce per-stream dumps into ensemble averages.
+
+TPU-native counterpart of the `msm-synthesizer` crate
+(`synthesizer/src/main.rs`, `synthesizer/src/lib.rs:106-609`):
+
+- `analyze_sims`: for every dump, average registered per-stream functions
+  (psi, |psi|^2, psik, |psik|^2 by default — `main.rs:63-93`) over all
+  streams and write them to `{sim}-combined/{name}_{dump:05}_{real,imag}`.
+- `post_combine`: evaluate post-combine scalars on the combined fields —
+  by default the quantum-breaking measure
+  Qx = sum(<|psi|^2> - |<psi>|^2) * dV (`main.rs:161-173`) — and write each
+  series as `{sim}-combined/{name}_{real,imag}`.
+
+Where the reference fans dumps over MPI ranks and streams over threads with
+a hand-rolled Balancer (`balancer.rs`), this build stacks streams into a
+device batch and reduces with one jitted `mean` per dump (chunked to bound
+memory); multi-host operation shards the dump list by process index
+(`parallel.mesh.local_dump_range`).
+
+File-format quirk preserved deliberately: the reference synthesizer
+recomputes psik with UNnormalized per-axis FFTs (`lib.rs:206-213`) even
+though the simulator dumps ortho-normalized fields, so combined psik/psik2
+differ from the simulator convention by N^(d/2) powers. We match the
+synthesizer's output convention for file parity (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (
+    SimulationParameters,
+    TomlParameters,
+    determine_pmass_hbar,
+    get_supercomoving_boxsize,
+)
+from .io.npy import AsyncGridWriter, load_complex_pair, write_complex_pair
+
+# Streams are reduced in device batches of this many grids to bound memory.
+DEFAULT_STREAM_CHUNK = 16
+
+ArrayFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+PostScalarFn = Callable[..., complex]
+
+
+def default_array_functions() -> dict[str, ArrayFn]:
+    """The reference's array reduction registry (`main.rs:63-93`)."""
+    return {
+        "psi": lambda psi, psik: psi,
+        "psi2": lambda psi, psik: psi * jnp.conj(psi),
+        "psik": lambda psi, psik: psik,
+        "psik2": lambda psi, psik: psik * jnp.conj(psik),
+    }
+
+
+def qx_post_scalar(dv: float) -> PostScalarFn:
+    """Qx = sum(<|psi|^2> - |<psi>|^2) * dV (`main.rs:161-173`)."""
+
+    def qx(dump, psi, psi2, psik, psik2):
+        return complex(np.sum(psi2 - psi * np.conj(psi)) * dv)
+
+    return qx
+
+
+@dataclass
+class SynthesisFunctions:
+    """Function registry (reference `Functions`, `lib.rs:632-1063`)."""
+
+    array_functions: dict[str, ArrayFn] = field(default_factory=default_array_functions)
+    post_scalar_functions: dict[str, PostScalarFn] = field(default_factory=dict)
+
+
+def _unnormalized_fft(psi: jnp.ndarray, dims: int) -> jnp.ndarray:
+    """Per-axis unnormalized FFT, matching ndrustfft::ndfft (`lib.rs:206-213`)."""
+    return jnp.fft.fftn(psi, axes=tuple(range(-dims, 0)), norm="backward")
+
+
+def find_stream_dirs(sim_base: str) -> list[str]:
+    """Glob `{sim_base}-stream*/` (reference `lib.rs:185-188`)."""
+    dirs = sorted(
+        d for d in glob.glob(f"{sim_base}-stream*") if os.path.isdir(d)
+    )
+    return dirs
+
+
+def combined_dir(sim_base: str) -> str:
+    out = f"{sim_base}-combined"
+    os.makedirs(out, exist_ok=True)
+    return out
+
+
+def analyze_sims(
+    functions: SynthesisFunctions,
+    sim_base: str,
+    dumps: Sequence[int],
+    dims: int,
+    dtype=jnp.complex64,
+    stream_chunk: int = DEFAULT_STREAM_CHUNK,
+    writer: Optional[AsyncGridWriter] = None,
+) -> None:
+    """Average registered array functions over streams for each dump.
+
+    Reference: `analyze_sims` (`synthesizer/src/lib.rs:106-342`).
+    """
+    stream_dirs = find_stream_dirs(sim_base)
+    if not stream_dirs:
+        raise FileNotFoundError(f"no stream directories match {sim_base}-stream*")
+    out_dir = combined_dir(sim_base)
+
+    names = list(functions.array_functions)
+
+    @jax.jit
+    def reduce_chunk(psi_chunk):
+        psik_chunk = _unnormalized_fft(psi_chunk, dims)
+        return {
+            name: jnp.sum(fn(psi_chunk, psik_chunk), axis=0)
+            for name, fn in functions.array_functions.items()
+        }
+
+    own_writer = writer is None
+    if own_writer:
+        writer = AsyncGridWriter()
+    try:
+        for dump in dumps:
+            totals = {name: None for name in names}
+            nsims = 0
+            for lo in range(0, len(stream_dirs), stream_chunk):
+                batch_dirs = stream_dirs[lo : lo + stream_chunk]
+                grids = []
+                for d in batch_dirs:
+                    g = load_complex_pair(os.path.join(d, f"psi_{dump:05d}"))
+                    size = g.shape[0]
+                    grids.append(g.reshape((size,) * dims))
+                psi_chunk = jnp.asarray(np.stack(grids), dtype)
+                partial = reduce_chunk(psi_chunk)
+                for name in names:
+                    totals[name] = (
+                        partial[name]
+                        if totals[name] is None
+                        else totals[name] + partial[name]
+                    )
+                nsims += len(batch_dirs)
+            assert nsims > 0
+            for name in names:
+                avg = np.asarray(totals[name]) / nsims
+                size = avg.shape[0]
+                pad = (1,) * (4 - dims)
+                avg4 = avg.reshape((size,) * dims + pad)
+                writer.submit(os.path.join(out_dir, f"{name}_{dump:05d}"), avg4)
+        writer.wait()
+    finally:
+        if own_writer:
+            writer.close()
+
+
+def post_combine(
+    functions: SynthesisFunctions,
+    sim_base: str,
+    dumps: Sequence[int],
+) -> dict[str, np.ndarray]:
+    """Evaluate post-combine scalars on combined fields and write series.
+
+    Reference: `post_combine` (`synthesizer/src/lib.rs:351-609`). The output
+    series is shaped (n_dumps, 1, 1, 1) like the reference's non-MPI path
+    (`lib.rs:586-605`).
+    """
+    out_dir = combined_dir(sim_base)
+    results: dict[str, list[complex]] = {n: [] for n in functions.post_scalar_functions}
+    for dump in dumps:
+        fields = {
+            name: load_complex_pair(os.path.join(out_dir, f"{name}_{dump:05d}"))
+            for name in ("psi", "psi2", "psik", "psik2")
+        }
+        for name, fn in functions.post_scalar_functions.items():
+            results[name].append(
+                fn(dump, fields["psi"], fields["psi2"], fields["psik"], fields["psik2"])
+            )
+    out = {}
+    for name, series in results.items():
+        arr = np.asarray(series, dtype=np.complex128).reshape(len(series), 1, 1, 1)
+        write_complex_pair(os.path.join(out_dir, name), arr)
+        out[name] = arr
+    return out
+
+
+def synthesize_toml(
+    toml: TomlParameters,
+    data_root: str = "sim-data",
+    dtype=jnp.complex64,
+    stream_chunk: int = DEFAULT_STREAM_CHUNK,
+) -> dict[str, np.ndarray]:
+    """Full synthesizer pipeline for a config (`synthesizer/src/main.rs:30-190`)."""
+    dumps = list(range(toml.num_data_dumps + 1))
+    # dv = (L/N)^d, or the supercomoving version when expanding
+    # (`main.rs:51-58`).
+    if toml.cosmology is not None:
+        _, hbar_ = determine_pmass_hbar(toml)
+        box = get_supercomoving_boxsize(hbar_, toml.cosmology, toml.axis_length)
+        dv = (box / toml.size) ** toml.dims
+    else:
+        dv = (toml.axis_length / toml.size) ** toml.dims
+
+    functions = SynthesisFunctions()
+    functions.post_scalar_functions["Qx"] = qx_post_scalar(dv)
+
+    sim_base = os.path.join(data_root, toml.sim_name)
+    analyze_sims(functions, sim_base, dumps, toml.dims, dtype, stream_chunk)
+    return post_combine(functions, sim_base, dumps)

@@ -1,0 +1,76 @@
+"""Benchmark helpers (shared by /bench.py and `python -m msm_tpu bench`).
+
+North-star metrics (BASELINE.md): grid-updates/s/chip for the KDK step and
+streams/s for the ensemble; `vs_baseline` is the fraction of the analytic
+HBM roofline since the reference publishes no numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def estimate_sol_updates_per_s(bytes_per_cell: int = 8) -> float:
+    """Speed-of-light cell-updates/s for one KDK step on one v5e chip."""
+    hbm_gbps = 819.0
+    passes = 6 * 3 * 2 + 10  # 6 FFTs x 3 axis passes x r/w + elementwise
+    return hbm_gbps * 1e9 / (passes * bytes_per_cell)
+
+
+def run_kdk_bench(size: int, dims: int, streams: int, steps: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .. import config as cfg
+    from ..models.ics import build_ics
+    from ..stepper import Stepper
+
+    toml = cfg.TomlParameters(
+        axis_length=30.0,
+        final_sim_time=1e9,  # never dump-limited during the bench
+        cfl=0.5,
+        num_data_dumps=1,
+        total_mass=1e11,
+        sim_name="bench",
+        k2_cutoff=0.95,
+        alias_threshold=1e9,  # alias check runs but never trips
+        dims=dims,
+        size=size,
+        ics=cfg.SphericalTophat(radius=5.0, delta=100.0, slope=50.0),
+        hbar_=0.05,
+    )
+    params = cfg.resolve_parameters(toml)
+    stepper = Stepper(params, jnp.complex64)
+
+    psi0 = build_ics(params)
+    if streams > 1:
+        psi0 = np.broadcast_to(psi0[None], (streams,) + psi0.shape)
+        step = jax.jit(jax.vmap(stepper._step))
+    else:
+        step = stepper._jit_step
+    state = stepper.init_state(psi0, batched=streams > 1)
+
+    state = step(state)  # warmup/compile
+    jax.block_until_ready(state.psi)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state = step(state)
+    jax.block_until_ready(state.psi)
+    elapsed = time.perf_counter() - t0
+
+    cells = streams * size**dims
+    updates_per_s = cells * steps / elapsed
+    return {
+        "metric": "grid_updates_per_s_per_chip",
+        "value": round(updates_per_s, 1),
+        "unit": f"cell-updates/s (size={size}^{dims} x {streams} streams, c64 KDK)",
+        "vs_baseline": round(updates_per_s / estimate_sol_updates_per_s(), 4),
+        "steps_per_s": round(steps / elapsed, 3),
+    }
+
+
+def main(args) -> None:
+    print(json.dumps(run_kdk_bench(args.size, args.dims, args.streams, args.steps)))

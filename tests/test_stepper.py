@@ -1,0 +1,163 @@
+"""Stepper tests: unitarity, exact free-particle propagation, analytic
+Poisson solve, alias detection, and dump scheduling.
+
+The reference validates these only via debug_asserts in the hot loop
+(`simulator/src/simulation_object.rs:485-529`); here they are real tests.
+"""
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msm_tpu import config as cfg
+from msm_tpu import grid
+from msm_tpu.constants import POIS_CONST
+from msm_tpu.models import ics
+from msm_tpu.ops import fft
+from msm_tpu.stepper import Stepper
+
+
+def _params(dims=1, size=64, L=30.0, total_mass=1e11, hbar_=0.05, **kw):
+    defaults = dict(
+        axis_length=L,
+        final_sim_time=40.0,
+        cfl=0.5,
+        num_data_dumps=200,
+        total_mass=total_mass,
+        sim_name="t",
+        k2_cutoff=0.95,
+        alias_threshold=0.02,
+        dims=dims,
+        size=size,
+        ics=cfg.ColdGauss(mean=(L / 2,) * dims, std=(L / 10,) * dims),
+        hbar_=hbar_,
+    )
+    defaults.update(kw)
+    toml = cfg.TomlParameters(**defaults)
+    return cfg.resolve_parameters(toml)
+
+
+def test_unitarity_over_many_steps():
+    p = _params(dims=2, size=32)
+    st = Stepper(p, jnp.complex128)
+    state = st.init_state(ics.build_ics(p))
+    for _ in range(20):
+        state = st.step(state)
+    assert float(grid.norm_squared(state.psi, p.dx, p.dims)) == pytest.approx(
+        1.0, abs=1e-10
+    )
+    assert grid.check_finite(state.psi)
+
+
+def test_free_particle_exact_propagation():
+    """With negligible mass the step must reproduce the exact free
+    propagator psi_k(t) = psi_k(0) * exp(-i hbar_ k^2 t / 2)."""
+    p = _params(dims=1, size=128, total_mass=1e-30, num_data_dumps=40)
+    st = Stepper(p, jnp.complex128)
+    psi0 = ics.build_ics(p)
+    state = st.init_state(psi0)
+    state = st.snap_after_dump(st.evolve_to_next_dump(state))
+    t = float(state.time)
+    assert t == pytest.approx(1.0)  # 40 / 40 dumps
+
+    psik0 = np.asarray(fft.forward(jnp.asarray(psi0), 1))
+    spec = np.asarray(st.spec_grid)
+    exact_k = psik0 * np.exp(-1j * p.hbar_ * spec * t / 2.0)
+    exact = np.fft.ifftn(exact_k, norm="ortho")
+    np.testing.assert_allclose(np.asarray(state.psi), exact, atol=1e-10)
+
+
+def test_potential_analytic_single_mode():
+    """|psi|^2 = (1 + A cos(k0 x))/V  =>  phi = -C Mtot A cos(k0 x)/k0^2."""
+    p = _params(dims=1, size=128)
+    st = Stepper(p, jnp.complex128)
+    L = p.axis_length
+    x = (2 * np.arange(p.size) + 1) * p.dx / 2
+    A = 0.3
+    k0 = 2 * math.pi / L
+    dens = (1 + A * np.cos(k0 * x)) / L
+    psi = jnp.asarray(np.sqrt(dens), jnp.complex128)
+    phi = np.asarray(st.potential(psi))
+    expected = -POIS_CONST * p.total_mass * A * np.cos(k0 * x) / (L * k0**2)
+    np.testing.assert_allclose(phi, expected, atol=1e-10 * np.abs(expected).max())
+
+
+def test_potential_zero_mode_removed():
+    p = _params(dims=1, size=64)
+    st = Stepper(p, jnp.complex128)
+    psi = jnp.full((p.size,), 1.0 / math.sqrt(p.axis_length), jnp.complex128)
+    phi = np.asarray(st.potential(psi))
+    np.testing.assert_allclose(phi, 0.0, atol=1e-12)  # uniform density => phi = 0
+
+
+def test_timestep_dump_limited():
+    # huge cfl + negligible mass: the dump boundary is the binding limit
+    p = _params(dims=1, size=32, cfl=10.0, total_mass=1.0)
+    st = Stepper(p, jnp.complex128)
+    state = st.init_state(ics.build_ics(p))
+    s = st.step(state)
+    assert bool(s.just_dumped)
+    assert float(s.time) == pytest.approx(
+        p.final_sim_time / p.num_data_dumps, rel=1e-12
+    )
+
+
+def test_timestep_cfl_limited():
+    p = _params(dims=1, size=32, cfl=1e-4)
+    st = Stepper(p, jnp.complex128)
+    state = st.init_state(ics.build_ics(p))
+    s = st.step(state)
+    assert not bool(s.just_dumped)
+    dump_dt = p.final_sim_time / p.num_data_dumps
+    assert float(s.time) < dump_dt
+
+
+def test_alias_detection():
+    """A field with all its mass at the highest k must trip the monitor."""
+    p = _params(dims=1, size=64, alias_threshold=0.01)
+    st = Stepper(p, jnp.complex128)
+    # put everything in the top-k modes
+    psik = np.zeros(p.size, np.complex128)
+    psik[p.size // 2] = 1.0  # Nyquist: k^2 = k2_max region
+    psik /= math.sqrt(np.sum(np.abs(psik) ** 2) * p.dk)
+    psi = np.fft.ifftn(psik, norm="ortho")
+    state = st.init_state(jnp.asarray(psi))
+    s = st.step(state)
+    assert bool(s.aliased)
+    assert float(s.alias_mass) > p.alias_threshold
+
+
+def test_evolve_to_dump_counts():
+    p = _params(dims=1, size=32, num_data_dumps=10, final_sim_time=4.0)
+    st = Stepper(p, jnp.complex128)
+    state = st.init_state(ics.build_ics(p))
+    for i in range(1, 4):
+        state = st.snap_after_dump(st.evolve_to_next_dump(state))
+        assert int(state.current_dumps) == i
+        assert float(state.time) == pytest.approx(i * 0.4, rel=1e-12)
+    assert st.not_finished(state)
+
+
+def test_batched_streams_evolve_independently():
+    p = _params(dims=1, size=32, num_data_dumps=5, final_sim_time=2.0)
+    st = Stepper(p, jnp.complex128)
+    psi0 = jnp.asarray(ics.build_ics(p))
+    # two identical + one different stream
+    x = jnp.arange(p.size) * p.dx
+    other = grid.normalize(
+        psi0 * jnp.exp(0.3j * jnp.sin(2 * jnp.pi * x / p.axis_length)), p.dx, 1
+    )
+    batch = jnp.stack([psi0, psi0, other])
+    state = st.init_state(batch, batched=True)
+    state = st.evolve_to_next_dump(state, batched=True)
+    assert np.asarray(state.just_dumped).all()
+    # identical streams stay identical; different stream differs
+    psi = np.asarray(state.psi)
+    np.testing.assert_array_equal(psi[0], psi[1])
+    assert np.abs(psi[2] - psi[0]).max() > 1e-8
+    # batched result matches unbatched run of the same stream
+    solo = st.evolve_to_next_dump(st.init_state(psi0))
+    np.testing.assert_allclose(psi[0], np.asarray(solo.psi), atol=1e-12)

@@ -1,0 +1,128 @@
+"""Synthesizer tests: ensemble averages, the unnormalized-psik file
+convention, and the Qx quantum-breaking scalar.
+
+Counterpart of `synthesizer/src/lib.rs` / `main.rs` behavior, which has no
+automated tests in the reference (SURVEY.md §4)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from msm_tpu import config as cfg
+from msm_tpu import synthesis
+from msm_tpu.io.npy import load_complex_pair, write_complex_pair
+
+
+def _make_stream_dumps(root, name, n_streams, dumps, size, rng):
+    """Write synthetic psi dumps for n_streams streams; return the fields."""
+    fields = {}
+    for s in range(1, n_streams + 1):
+        d = os.path.join(root, f"{name}-stream{s:05d}")
+        os.makedirs(d, exist_ok=True)
+        for dump in range(dumps + 1):
+            psi = rng.standard_normal((size, size)) + 1j * rng.standard_normal(
+                (size, size)
+            )
+            fields[(s, dump)] = psi
+            write_complex_pair(
+                os.path.join(d, f"psi_{dump:05d}"), psi.reshape(size, size, 1, 1)
+            )
+    return fields
+
+
+def test_analyze_sims_averages(tmp_path, rng):
+    size, n_streams, dumps = 8, 5, 2
+    root = str(tmp_path)
+    base = os.path.join(root, "syn")
+    fields = _make_stream_dumps(root, "syn", n_streams, dumps, size, rng)
+
+    fns = synthesis.SynthesisFunctions()
+    synthesis.analyze_sims(
+        fns, base, range(dumps + 1), dims=2, dtype=jnp.complex128, stream_chunk=2
+    )
+
+    out = base + "-combined"
+    for dump in range(dumps + 1):
+        streams = [fields[(s, dump)] for s in range(1, n_streams + 1)]
+        expected_psi = np.mean(streams, axis=0)
+        got = load_complex_pair(os.path.join(out, f"psi_{dump:05d}")).reshape(
+            size, size
+        )
+        np.testing.assert_allclose(got, expected_psi, atol=1e-12)
+
+        expected_psi2 = np.mean([np.abs(s) ** 2 for s in streams], axis=0)
+        got2 = load_complex_pair(os.path.join(out, f"psi2_{dump:05d}")).reshape(
+            size, size
+        )
+        np.testing.assert_allclose(got2.real, expected_psi2, atol=1e-12)
+
+        # psik uses the UNnormalized FFT convention (lib.rs:206-213)
+        expected_psik = np.mean(
+            [np.fft.fftn(s, norm="backward") for s in streams], axis=0
+        )
+        gotk = load_complex_pair(os.path.join(out, f"psik_{dump:05d}")).reshape(
+            size, size
+        )
+        np.testing.assert_allclose(gotk, expected_psik, atol=1e-10)
+
+
+def test_qx_series(tmp_path, rng):
+    size, n_streams, dumps = 8, 4, 1
+    root = str(tmp_path)
+    base = os.path.join(root, "qx")
+    fields = _make_stream_dumps(root, "qx", n_streams, dumps, size, rng)
+
+    dv = 0.25
+    fns = synthesis.SynthesisFunctions()
+    fns.post_scalar_functions["Qx"] = synthesis.qx_post_scalar(dv)
+    synthesis.analyze_sims(
+        fns, base, range(dumps + 1), dims=2, dtype=jnp.complex128
+    )
+    result = synthesis.post_combine(fns, base, range(dumps + 1))
+
+    assert result["Qx"].shape == (dumps + 1, 1, 1, 1)
+    for dump in range(dumps + 1):
+        streams = [fields[(s, dump)] for s in range(1, n_streams + 1)]
+        psi_bar = np.mean(streams, axis=0)
+        psi2_bar = np.mean([np.abs(s) ** 2 for s in streams], axis=0)
+        expected = np.sum(psi2_bar - np.abs(psi_bar) ** 2) * dv
+        assert result["Qx"][dump, 0, 0, 0].real == pytest.approx(
+            expected, rel=1e-10
+        )
+    # series file exists in the combined dir
+    series = load_complex_pair(os.path.join(base + "-combined", "Qx"))
+    np.testing.assert_allclose(series, result["Qx"])
+
+
+def test_full_pipeline_on_simulated_data(tmp_path):
+    """simulate -> synthesize end-to-end on a tiny sampled config."""
+    toml = cfg.parse_toml_dict(
+        {
+            "axis_length": 30,
+            "final_sim_time": 0.5,
+            "cfl": 0.5,
+            "num_data_dumps": 2,
+            "total_mass": 1e8,
+            "ntot": 1e6,
+            "hbar_": 0.05,
+            "sim_name": "pipe",
+            "k2_cutoff": 0.95,
+            "alias_threshold": 0.9,
+            "dims": 2,
+            "size": 16,
+            "ics": {"type": "SphericalTophat", "radius": 5.0, "slope": 50, "delta": 10},
+            "sampling": {"seeds": "1 to 4", "scheme": "Wigner"},
+        }
+    )
+    from msm_tpu import simulator
+
+    root = str(tmp_path / "sim-data")
+    simulator.run_config(toml, dtype=jnp.complex128, data_root=root)
+    result = synthesis.synthesize_toml(toml, data_root=root, dtype=jnp.complex128)
+    qx = result["Qx"][:, 0, 0, 0]
+    assert qx.shape == (3,)
+    # Qx is real and non-negative up to roundoff (it is a variance sum)
+    assert np.all(qx.real > -1e-12)
+    assert np.all(np.abs(qx.imag) < 1e-12)
