@@ -1,0 +1,181 @@
+"""Mesh-sharded stepping: the full KDK update over a (stream, x) device mesh.
+
+This is the scale-out path the reference does not have (it is strictly
+single-GPU, `simulator/src/main.rs:23`): streams are data-parallel over the
+``stream`` mesh axis and the grid's leading spatial axis is sharded over the
+``x`` axis, with FFTs transposing via `all_to_all` (parallel.pfft) and
+scalar reductions finishing in `pmax`/`psum` — all compiled over ICI by XLA.
+
+Layouts inside the shard_map region (3-D, batched):
+
+  psi   : (S_loc, Z/nx, Y, X)    canonical
+  psik  : (S_loc, Z, Y/nx, X)    transposed pencil (see pfft)
+  scalars: (S_loc,)              per-stream, replicated along x
+
+The whole evolve-to-dump while_loop runs inside one shard_map: per-stream
+loop exit masks are replicated along the x rows (every x-device computes
+identical per-stream scalars via the collective reductions), so control
+flow stays coherent where collectives occur.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SimulationParameters
+from ..stepper import SimState, StepConsts, Stepper
+from . import pfft
+from .mesh import SPACE_AXIS, STREAM_AXIS
+
+
+class MeshStepper:
+    """Stepper compiled over a device mesh.
+
+    The public API mirrors `Stepper` (init_state / evolve_to_next_dump /
+    snap_after_dump / not_finished); states it returns are mesh-sharded
+    jax.Arrays whose psik leaf lives in the transposed pencil layout.
+    """
+
+    def __init__(
+        self,
+        params: SimulationParameters,
+        mesh: Mesh,
+        dtype=jnp.complex64,
+        shard_space: Optional[bool] = None,
+    ):
+        self.params = params
+        self.mesh = mesh
+        n_space = mesh.shape[SPACE_AXIS]
+        if shard_space is None:
+            shard_space = n_space > 1 and params.dims >= 2
+        if shard_space and params.dims < 2:
+            raise ValueError("1-D grids cannot be spatially sharded")
+        if shard_space and params.size % n_space != 0:
+            raise ValueError(
+                f"grid size {params.size} not divisible by space axis {n_space}"
+            )
+        self.shard_space = shard_space
+
+        self.stepper = Stepper(
+            params, dtype, spatial_axis=SPACE_AXIS if shard_space else None
+        )
+
+        dims = params.dims
+        nones = (None,) * (dims - 1)
+        if shard_space:
+            self.psi_spec = P(STREAM_AXIS, SPACE_AXIS, *nones)
+            # transposed pencil layout: k-space sharded on the second axis
+            self.psik_spec = P(STREAM_AXIS, None, SPACE_AXIS, *nones[1:])
+            kspec = P(None, SPACE_AXIS, *nones[1:])
+        else:
+            self.psi_spec = P(STREAM_AXIS, *((None,) * dims))
+            self.psik_spec = self.psi_spec
+            kspec = P(*((None,) * dims))
+        self.scalar_spec = P(STREAM_AXIS)
+
+        self.state_specs = SimState(
+            psi=self.psi_spec,
+            psik=self.psik_spec,
+            time=self.scalar_spec,
+            tau=self.scalar_spec,
+            a=self.scalar_spec,
+            current_dumps=self.scalar_spec,
+            n_steps=self.scalar_spec,
+            just_dumped=self.scalar_spec,
+            aliased=self.scalar_spec,
+            alias_mass=self.scalar_spec,
+        )
+        self.consts_specs = StepConsts(
+            spec_grid=kspec, alias_mask=kspec, tau_dumps=P()
+        )
+
+        def smap(f, out_specs):
+            return jax.jit(
+                jax.shard_map(
+                    f,
+                    mesh=self.mesh,
+                    in_specs=(self.state_specs, self.consts_specs),
+                    out_specs=out_specs,
+                    check_vma=False,
+                )
+            )
+
+        self._evolve = smap(self.stepper._evolve_to_next_dump, self.state_specs)
+        self._step_fn = smap(self.stepper._step, self.state_specs)
+        self._init_fn = jax.jit(
+            jax.shard_map(
+                lambda psi: self.stepper._init_from_psi(psi),
+                mesh=self.mesh,
+                in_specs=(self.psi_spec,),
+                out_specs=self.state_specs,
+                check_vma=False,
+            )
+        )
+        self._potential_fn = jax.jit(
+            jax.shard_map(
+                lambda psi, consts: self.stepper._potential(psi, consts),
+                mesh=self.mesh,
+                in_specs=(self.psi_spec, self.consts_specs),
+                out_specs=self.psi_spec,
+                check_vma=False,
+            )
+        )
+
+        # Device-placed, mesh-sharded constants.
+        self.consts = jax.device_put(
+            self.stepper.consts,
+            jax.tree_util.tree_map(
+                lambda spec: NamedSharding(mesh, spec), self.consts_specs
+            ),
+        )
+
+    # -- public API mirroring Stepper ----------------------------------
+
+    @property
+    def dtype(self):
+        return self.stepper.dtype
+
+    @property
+    def tdtype(self):
+        return self.stepper.tdtype
+
+    @property
+    def tau_dumps(self):
+        return self.stepper.tau_dumps
+
+    def init_state(self, psi0, batched: bool = True) -> SimState:
+        n_stream = self.mesh.shape[STREAM_AXIS]
+        psi = np.asarray(psi0).astype(self.stepper.dtype)
+        if psi.ndim == self.params.dims:
+            raise ValueError("MeshStepper requires a leading stream batch axis")
+        if psi.shape[0] % n_stream != 0:
+            raise ValueError(
+                f"stream count {psi.shape[0]} not divisible by stream axis {n_stream}"
+            )
+        psi = jax.device_put(psi, NamedSharding(self.mesh, self.psi_spec))
+        return self._init_fn(psi)
+
+    def evolve_to_next_dump(self, state: SimState, batched: bool = True) -> SimState:
+        return self._evolve(state, self.consts)
+
+    def step(self, state: SimState) -> SimState:
+        return self._step_fn(state, self.consts)
+
+    def potential(self, psi):
+        return self._potential_fn(psi, self.consts)
+
+    def snap_after_dump(self, state: SimState) -> SimState:
+        return self.stepper.snap_after_dump(state)
+
+    def not_finished(self, state: SimState) -> bool:
+        return self.stepper.not_finished(state)
+
+    def gather_psi(self, state: SimState) -> np.ndarray:
+        """Fetch the full (streams, *grid) psi to host."""
+        return np.asarray(jax.device_get(state.psi))

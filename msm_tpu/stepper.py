@@ -8,23 +8,29 @@ TPU-native counterpart of `SimulationObject::update`
 Architecture (deliberately not a port):
 
 - The state is a pytree (`SimState`) and one step is a pure function
-  ``step(state) -> state``; the whole advance-to-next-dump loop runs inside
-  a single jitted `lax.while_loop` (`evolve_to_next_dump`), so the reference's
-  per-step device->host syncs for `max|phi|` and the alias sum disappear —
-  the host only sees the state at dump boundaries.
-- Streams batch over a leading axis with `vmap`; each stream carries its own
-  adaptive dt, dump counter, and alias flag (one stream aliasing does not
-  kill the batch — it freezes and is reported, unlike the reference panic,
-  `simulation_object.rs:607-617`).
-- Static configuration (grid constants, masks, dump tables) is closed over
-  and constant-folded by XLA.
+  ``step(state, consts) -> state``; the whole advance-to-next-dump loop runs
+  inside a single jitted `lax.while_loop` (`evolve_to_next_dump`), so the
+  reference's per-step device->host syncs for `max|phi|` and the alias sum
+  disappear — the host only sees the state at dump boundaries.
+- The step is **batch-generic**: a leading stream-ensemble axis is handled
+  natively (reductions are over the trailing spatial axes; per-stream
+  scalars broadcast back). Streams that reach their dump boundary (or
+  alias) are frozen by a mask-select in the evolve loop — one stream
+  aliasing does not kill the batch, unlike the reference panic
+  (`simulation_object.rs:607-617`).
+- The same step runs single-device or inside `shard_map` over a device
+  mesh: with ``spatial_axis`` set, FFTs go through the pencil transforms
+  (`parallel.pfft`, all_to_all over ICI) and the max/sum reductions finish
+  with `pmax`/`psum` over the mesh axis. k-space state then lives in the
+  transposed pencil layout (see pfft docstring) — the global array values
+  are identical, only the sharding differs.
+- Grid constants (spectral grid, alias mask, tau tables) travel in a
+  `StepConsts` pytree so they can be sharded alongside the state.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,18 +40,18 @@ from . import cosmo as cosmo_mod
 from .config import SimulationParameters
 from .constants import POIS_CONST
 from .grid import spec_grid as build_spec_grid
-from .ops import fft
 from .ops.phase import apply_kinetic_phase, apply_potential_phase
-from .ops.poisson import solve_poisson
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SimState:
-    """Per-stream integrator state (pytree).
+    """Per-stream integrator state (pytree), optionally with a leading
+    stream-batch axis on every leaf.
 
     psi and psik are kept mutually consistent at step boundaries, mirroring
-    the reference's `SimulationGrid` carrying both (`simulation_object.rs:42-64`).
+    the reference's `SimulationGrid` (`simulation_object.rs:42-64`); in
+    sharded mode psik is stored in the transposed pencil layout.
     """
 
     psi: jax.Array
@@ -60,27 +66,49 @@ class SimState:
     alias_mass: jax.Array
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StepConsts:
+    """Grid constants threaded through the jitted step (shardable pytree).
+
+    spec_grid / alias_mask are the standard global k^2 grid and cutoff mask
+    (`utils/fft.rs:123-161`, `simulation_object.rs:1262-1277`); tau_dumps is
+    the precomputed tau-at-dump-time table (zeros in static mode).
+    """
+
+    spec_grid: jax.Array
+    alias_mask: jax.Array
+    tau_dumps: jax.Array
+
+
 class Stepper:
     """Compiled stepper for one resolved configuration.
 
-    All jitted callables treat grid constants as compile-time constants;
-    re-instantiate for a different config.
+    All jitted callables treat `params` as compile-time constants;
+    re-instantiate for a different config. With ``spatial_axis`` set the
+    instance is meant to be driven from inside `shard_map` (see
+    `parallel.sharded.MeshStepper`), and `consts` must then be passed in
+    pre-sharded.
     """
 
-    def __init__(self, params: SimulationParameters, dtype=jnp.complex64):
+    def __init__(
+        self,
+        params: SimulationParameters,
+        dtype=jnp.complex64,
+        spatial_axis: str | None = None,
+    ):
         self.params = params
         self.dtype = jnp.dtype(dtype)
         self.rdtype = jnp.finfo(self.dtype).dtype
         # Time bookkeeping in float64 when enabled (x64 mode), else float32.
         self.tdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.spatial_axis = spatial_axis
 
         p = params
         spec = build_spec_grid(p.dx, p.dims, p.size)
         self.k2_max = float(spec.max())
-        self.spec_grid = jnp.asarray(spec, self.rdtype)
-        # Static alias mask: modes with k^2 > k2_cutoff * k2_max (check_alias,
-        # simulation_object.rs:1262-1277).
-        self.alias_mask = jnp.asarray(spec > p.k2_cutoff * self.k2_max, self.rdtype)
+        # Static alias mask: modes with k^2 > k2_cutoff * k2_max.
+        mask = (spec > p.k2_cutoff * self.k2_max).astype(np.float64)
 
         # Dump schedule: t_dump[i] = i * T / num_dumps ("TODO: fix for
         # initial_time != 0" retained from simulation_object.rs:627-631).
@@ -103,21 +131,67 @@ class Stepper:
                 / p.hbar_ ** (p.dims / 2.0)
             )
             self.poisson_coeff = 1.0
-            self._tau_dumps_dev = jnp.asarray(self.tau_dumps, self.tdtype)
+            tau_dumps = self.tau_dumps
         else:
             self.tau_dumps = None
             self.density_prefactor = p.total_mass
             self.poisson_coeff = POIS_CONST
+            tau_dumps = np.zeros(n_dumps + 1)
+
+        self.consts = StepConsts(
+            spec_grid=jnp.asarray(spec, self.rdtype),
+            alias_mask=jnp.asarray(mask, self.rdtype),
+            tau_dumps=jnp.asarray(tau_dumps, self.tdtype),
+        )
 
         # Everything device-side is jitted: on the axon TPU backend eager
         # dispatch round-trips a remote compile per op, so the driver path
         # must consist solely of compiled calls + host transfers.
         self._jit_step = jax.jit(self._step)
         self._jit_evolve = jax.jit(self._evolve_to_next_dump)
-        self._jit_evolve_batch = jax.jit(jax.vmap(self._evolve_to_next_dump))
         self._jit_potential = jax.jit(self._potential)
         self._jit_snap = jax.jit(self._snap_after_dump)
         self._jit_init = jax.jit(self._init_from_psi)
+
+    # ------------------------------------------------------------------
+    # Axis helpers (batch-generic + mesh-collective aware)
+    # ------------------------------------------------------------------
+
+    @property
+    def _spatial_axes(self) -> tuple[int, ...]:
+        return tuple(range(-self.params.dims, 0))
+
+    def _bcast(self, scalar):
+        """Broadcast a per-stream scalar over the spatial axes."""
+        return scalar.reshape(scalar.shape + (1,) * self.params.dims)
+
+    def _spatial_max(self, x):
+        out = jnp.max(x, axis=self._spatial_axes)
+        if self.spatial_axis is not None:
+            out = jax.lax.pmax(out, self.spatial_axis)
+        return out
+
+    def _spatial_sum(self, x):
+        out = jnp.sum(x, axis=self._spatial_axes)
+        if self.spatial_axis is not None:
+            out = jax.lax.psum(out, self.spatial_axis)
+        return out
+
+    def _fwd(self, x):
+        """Forward ortho FFT (canonical -> k layout)."""
+        if self.spatial_axis is not None:
+            from .parallel import pfft
+
+            return pfft.fftn_sharded(x, self.params.dims, self.spatial_axis)
+        return jnp.fft.fftn(x, axes=self._spatial_axes, norm="ortho")
+
+    def _inv(self, xk):
+        """Inverse ortho FFT (k layout -> canonical)."""
+        if self.spatial_axis is not None:
+            from .parallel import pfft
+
+            return pfft.ifftn_sharded(xk, self.params.dims, self.spatial_axis)
+        return jnp.fft.ifftn(xk, axes=self._spatial_axes, norm="ortho")
 
     # ------------------------------------------------------------------
     # State construction
@@ -132,7 +206,7 @@ class Stepper:
 
     def _init_from_psi(self, psi) -> SimState:
         psi = psi.astype(self.dtype)
-        psik = fft.forward(psi, self.params.dims)
+        psik = self._fwd(psi)
         t0 = jnp.asarray(self.params.time, self.tdtype)
         if self.params.expanding:
             tau0 = jnp.asarray(
@@ -164,105 +238,106 @@ class Stepper:
     # Physics pieces
     # ------------------------------------------------------------------
 
-    def _potential(self, psi):
-        """Spectral Poisson solve (calculate_potential, :1031-1110)."""
-        return solve_poisson(
-            psi,
-            self.spec_grid,
-            self.params.dims,
-            jnp.asarray(self.density_prefactor, self.rdtype),
-            self.poisson_coeff,
-        )
+    def _potential(self, psi, consts: StepConsts | None = None):
+        """Spectral Poisson solve (calculate_potential, :1031-1110).
 
-    def _timestep(self, phi, state: SimState):
+        rho = prefactor |psi|^2; phi_k = -coeff rho_k / k^2 (k=0 zeroed by
+        masking, cleaner than the reference's NaN-replace :1097-1102);
+        phi = Re F^-1[phi_k].
+        """
+        consts = consts if consts is not None else self.consts
+        spec = consts.spec_grid
+        rho = jnp.asarray(self.density_prefactor, self.rdtype) * jnp.real(
+            psi * jnp.conj(psi)
+        )
+        rho_k = self._fwd(rho.astype(self.dtype))
+        inv_k2 = jnp.where(spec > 0.0, 1.0, 0.0) / jnp.where(spec > 0.0, spec, 1.0)
+        phi_k = (-self.poisson_coeff * inv_k2).astype(self.dtype) * rho_k
+        return jnp.real(self._inv(phi_k))
+
+    def _timestep(self, phi, state: SimState, consts: StepConsts):
         """Adaptive dt (or dtau): min of kinetic, potential, next-dump.
 
         Static: get_timestep `simulation_object.rs:878-934`;
         expanding: `:939-990` (with the per-step get_tau re-integration
         replaced by the precomputed tau-at-dump table).
+        Returns per-stream (dt, is_dump).
         """
         p = self.params
-        one = jnp.ones((), self.tdtype)
-        phi_max = jnp.max(jnp.abs(phi)).astype(self.tdtype)
+        phi_max = self._spatial_max(jnp.abs(phi)).astype(self.tdtype)
+        next_idx = jnp.minimum(state.current_dumps + 1, p.num_data_dumps)
         if p.expanding:
-            kinetic = one * (p.cfl * 2.0 * p.comoving_boxsize / np.sqrt(self.k2_max))
+            kinetic = jnp.asarray(
+                p.cfl * 2.0 * p.comoving_boxsize / np.sqrt(self.k2_max), self.tdtype
+            )
             potential = p.cfl * 2.0 * np.pi / (2.0 * state.a * phi_max)
-            to_next = (
-                self._tau_dumps_dev[
-                    jnp.minimum(state.current_dumps + 1, p.num_data_dumps)
-                ]
-                - state.tau
-            )
+            to_next = consts.tau_dumps[next_idx] - state.tau
         else:
-            kinetic = one * (
-                p.cfl * 2.0 * p.axis_length / (np.sqrt(self.k2_max) * p.hbar_)
+            kinetic = jnp.asarray(
+                p.cfl * 2.0 * p.axis_length / (np.sqrt(self.k2_max) * p.hbar_),
+                self.tdtype,
             )
-            potential = (
-                p.cfl * 2.0 * np.pi * p.hbar_ / (2.0 * phi_max)
-            )
-            next_dump_time = (
-                (state.current_dumps + 1).astype(self.tdtype)
-                * (p.final_sim_time / p.num_data_dumps)
+            potential = p.cfl * 2.0 * np.pi * p.hbar_ / (2.0 * phi_max)
+            next_dump_time = next_idx.astype(self.tdtype) * (
+                p.final_sim_time / p.num_data_dumps
             )
             to_next = next_dump_time - state.time
         dt = jnp.minimum(jnp.minimum(kinetic, potential), to_next)
         return dt, dt == to_next
 
-    def _alias_mass(self, psik):
+    def _alias_mass(self, psik, consts: StepConsts):
         """Probability mass above the alias cutoff (check_alias, :1249-1293)."""
         p = self.params
-        mass = jnp.sum(
-            jnp.real(psik * jnp.conj(psik)) * self.alias_mask,
-            axis=tuple(range(-p.dims, 0)),
-        )
+        mass = self._spatial_sum(jnp.real(psik * jnp.conj(psik)) * consts.alias_mask)
         return mass * jnp.asarray(p.dk**p.dims, self.rdtype)
 
     # ------------------------------------------------------------------
-    # One KDK step
+    # One KDK step (batch-generic)
     # ------------------------------------------------------------------
 
-    def _step(self, state: SimState) -> SimState:
+    def _step(self, state: SimState, consts: StepConsts | None = None) -> SimState:
+        consts = consts if consts is not None else self.consts
         if self.params.expanding:
-            return self._step_expanding(state)
-        return self._step_static(state)
+            return self._step_expanding(state, consts)
+        return self._step_static(state, consts)
 
-    def _step_static(self, state: SimState) -> SimState:
+    def _step_static(self, state: SimState, consts: StepConsts) -> SimState:
         """One static-space KDK step (update, :475-661)."""
         p, hbar_ = self.params, self.params.hbar_
+        spec = consts.spec_grid
 
-        phi = self._potential(state.psi)
-        dt, is_dump = self._timestep(phi, state)
-        dtc = dt.astype(self.rdtype)
+        phi = self._potential(state.psi, consts)
+        dt, is_dump = self._timestep(phi, state, consts)
+        kcoeff = self._bcast((-dt / 4.0 * hbar_).astype(self.rdtype))
+        vcoeff = self._bcast((-dt / hbar_).astype(self.rdtype))
 
         # Half kick in k-space: exp(-i * dt/4 * hbar_ * k^2) (:504-516)
-        psik = apply_kinetic_phase(state.psik, self.spec_grid, -dtc / 4.0 * hbar_)
-        psi = fft.inverse(psik, p.dims)
+        psik = apply_kinetic_phase(state.psik, spec, kcoeff)
+        psi = self._inv(psik)
         # Full potential kick at the half-step: exp(-i * dt/hbar_ * phi) (:530-545)
-        phi = self._potential(psi)
-        psi = apply_potential_phase(psi, phi, -dtc / hbar_)
-        psik = fft.forward(psi, p.dims)
+        phi = self._potential(psi, consts)
+        psi = apply_potential_phase(psi, phi, vcoeff)
+        psik = self._fwd(psi)
         # Second half kick (:562-574)
-        psik = apply_kinetic_phase(psik, self.spec_grid, -dtc / 4.0 * hbar_)
-        psi = fft.inverse(psik, p.dims)
+        psik = apply_kinetic_phase(psik, spec, kcoeff)
+        psi = self._inv(psik)
 
         time = state.time + dt
-        alias_mass = self._alias_mass(psik)
+        alias_mass = self._alias_mass(psik, consts)
         aliased = state.aliased | (alias_mass > p.alias_threshold)
 
-        return SimState(
+        return dataclasses.replace(
+            state,
             psi=psi,
             psik=psik,
             time=time,
-            tau=state.tau,
-            a=state.a,
-            current_dumps=state.current_dumps,
             n_steps=state.n_steps + 1,
             just_dumped=is_dump,
             aliased=aliased,
             alias_mass=alias_mass,
         )
 
-    def _step_expanding(self, state: SimState) -> SimState:
+    def _step_expanding(self, state: SimState, consts: StepConsts) -> SimState:
         """One expanding-universe KDK step in dtau (update, :669-873).
 
         The kinetic factor drops hbar_ (:699-706); the potential update is
@@ -271,37 +346,37 @@ class Stepper:
         """
         p = self.params
         c = p.cosmology
+        spec = consts.spec_grid
 
-        phi = self._potential(state.psi)
-        dtau, is_dump = self._timestep(phi, state)
-        dtc = dtau.astype(self.rdtype)
+        phi = self._potential(state.psi, consts)
+        dtau, is_dump = self._timestep(phi, state, consts)
+        kcoeff = self._bcast((-dtau / 4.0).astype(self.rdtype))
 
-        psik = apply_kinetic_phase(state.psik, self.spec_grid, -dtc / 4.0)
-        psi = fft.inverse(psik, p.dims)
-        phi = self._potential(psi)
+        psik = apply_kinetic_phase(state.psik, spec, kcoeff)
+        psi = self._inv(psik)
+        phi = self._potential(psi, consts)
 
         a, t, tau = state.a, state.time, state.tau
         for _ in range(2):
-            psi = apply_potential_phase(
-                psi, phi, (-dtc / 2.0) * a.astype(self.rdtype)
-            )
+            vcoeff = self._bcast(((-dtau / 2.0) * a).astype(self.rdtype))
+            psi = apply_potential_phase(psi, phi, vcoeff)
             a, t = cosmo_mod.advance_a_t_by_dtau(a, t, dtau / 2.0, c)
             tau = tau + dtau / 2.0
 
-        psik = fft.forward(psi, p.dims)
-        psik = apply_kinetic_phase(psik, self.spec_grid, -dtc / 4.0)
-        psi = fft.inverse(psik, p.dims)
+        psik = self._fwd(psi)
+        psik = apply_kinetic_phase(psik, spec, kcoeff)
+        psi = self._inv(psik)
 
-        alias_mass = self._alias_mass(psik)
+        alias_mass = self._alias_mass(psik, consts)
         aliased = state.aliased | (alias_mass > p.alias_threshold)
 
-        return SimState(
+        return dataclasses.replace(
+            state,
             psi=psi,
             psik=psik,
             time=t,
             tau=tau,
             a=a,
-            current_dumps=state.current_dumps,
             n_steps=state.n_steps + 1,
             just_dumped=is_dump,
             aliased=aliased,
@@ -312,24 +387,46 @@ class Stepper:
     # Dump-to-dump evolution (the jitted hot loop)
     # ------------------------------------------------------------------
 
-    def _evolve_to_next_dump(self, state: SimState) -> SimState:
-        """Advance until a step lands on the next dump boundary (or aliasing).
+    def _active(self, state: SimState, finished):
+        return ~(state.just_dumped | state.aliased | finished)
+
+    def _select(self, mask, new: SimState, old: SimState) -> SimState:
+        """Per-stream select: advance active streams, freeze the rest."""
+        gmask = self._bcast(mask)
+
+        def pick(n, o):
+            m = gmask if n.ndim == gmask.ndim else mask
+            return jnp.where(m, n, o)
+
+        return jax.tree_util.tree_map(pick, new, old)
+
+    def _evolve_to_next_dump(
+        self, state: SimState, consts: StepConsts | None = None
+    ) -> SimState:
+        """Advance every active stream until its step lands on the next dump
+        boundary (or it aliases).
 
         The loop exit mirrors the reference's dump flag: the step that took
         `time_to_next_dump` as its dt sets just_dumped (get_timestep,
         :926-930); dump counter increment and time snapping happen at the
-        host in the driver, as in update() (:620-631).
+        host via `snap_after_dump`, as in update() (:620-631). Batched
+        streams are masked rather than vmapped so the same code path works
+        under shard_map with collectives inside the body.
         """
+        consts = consts if consts is not None else self.consts
         finished = state.current_dumps >= self.params.num_data_dumps
 
         def cond(s: SimState):
-            return ~(s.just_dumped | s.aliased | finished)
+            return jnp.any(self._active(s, finished))
 
-        return jax.lax.while_loop(cond, self._step, state)
+        def body(s: SimState):
+            return self._select(self._active(s, finished), self._step(s, consts), s)
+
+        return jax.lax.while_loop(cond, body, state)
 
     def evolve_to_next_dump(self, state: SimState, batched: bool = False) -> SimState:
-        fn = self._jit_evolve_batch if batched else self._jit_evolve
-        return fn(state)
+        del batched  # the step is batch-generic; kept for API compatibility
+        return self._jit_evolve(state)
 
     def step(self, state: SimState) -> SimState:
         return self._jit_step(state)

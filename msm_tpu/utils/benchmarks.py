@@ -47,9 +47,7 @@ def run_kdk_bench(size: int, dims: int, streams: int, steps: int) -> dict:
     psi0 = build_ics(params)
     if streams > 1:
         psi0 = np.broadcast_to(psi0[None], (streams,) + psi0.shape)
-        step = jax.jit(jax.vmap(stepper._step))
-    else:
-        step = stepper._jit_step
+    step = stepper._jit_step  # batch-generic
     state = stepper.init_state(psi0, batched=streams > 1)
 
     state = step(state)  # warmup/compile

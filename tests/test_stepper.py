@@ -64,7 +64,7 @@ def test_free_particle_exact_propagation():
     assert t == pytest.approx(1.0)  # 40 / 40 dumps
 
     psik0 = np.asarray(fft.forward(jnp.asarray(psi0), 1))
-    spec = np.asarray(st.spec_grid)
+    spec = np.asarray(st.consts.spec_grid)
     exact_k = psik0 * np.exp(-1j * p.hbar_ * spec * t / 2.0)
     exact = np.fft.ifftn(exact_k, norm="ortho")
     np.testing.assert_allclose(np.asarray(state.psi), exact, atol=1e-10)
