@@ -60,6 +60,7 @@ def cmd_simulate(args) -> int:
         test_only=args.test,
         batch_streams=not args.sequential_streams,
         strict_alias=args.strict_alias,
+        online_synthesis=args.online_synthesis,
     )
     n = cfg.stream_count(toml)
     if n > 1:
@@ -103,6 +104,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--strict-alias",
         action="store_true",
         help="abort on Fourier aliasing instead of freezing the stream",
+    )
+    sim.add_argument(
+        "--online-synthesis",
+        action="store_true",
+        help="reduce -combined/ ensemble averages on-device during the run",
     )
     sim.set_defaults(fn=cmd_simulate)
 

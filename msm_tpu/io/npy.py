@@ -28,14 +28,12 @@ MAX_CONCURRENT_GRID_WRITES = 16
 def write_npy_exact(path: str, arr: np.ndarray) -> None:
     """Write an npy file at *exactly* `path` (numpy's save() would append .npy)."""
     arr = np.ascontiguousarray(arr)
-    try:
+    if arr.dtype in (np.float32, np.float64):
         from . import native
 
         if native.available():
             native.write_npy(path, arr)
             return
-    except ImportError:
-        pass
     with open(path, "wb") as f:
         np.lib.format.write_array(f, arr, version=(1, 0))
 
@@ -46,7 +44,19 @@ def read_npy_exact(path: str) -> np.ndarray:
 
 
 def write_complex_pair(path_base: str, arr: np.ndarray) -> None:
-    """Write `{path_base}_real` and `{path_base}_imag` npy files."""
+    """Write `{path_base}_real` and `{path_base}_imag` npy files.
+
+    Complex input goes through the native writer when available: it splits
+    interleaved data while streaming to disk, avoiding the `.real`/`.imag`
+    numpy temporaries entirely.
+    """
+    arr = np.ascontiguousarray(arr)
+    if arr.dtype in (np.complex64, np.complex128):
+        from . import native
+
+        if native.available():
+            native.write_complex_pair(path_base, arr)
+            return
     write_npy_exact(path_base + "_real", np.ascontiguousarray(arr.real))
     write_npy_exact(path_base + "_imag", np.ascontiguousarray(arr.imag))
 

@@ -1,24 +1,31 @@
-"""Fused phase-rotation ops: psi * exp(i * coeff * field).
+"""Phase-rotation ops: psi * exp(i * coeff * field), jnp reference path.
 
 These are the memory-bound elementwise interludes between FFTs in the KDK
 step (`simulator/src/simulation_object.rs:504-516,535-545,562-574`). The
-default implementations below are jnp expressions that XLA fuses into single
-VPU loops; `msm_tpu.ops.pallas_kernels` provides hand-fused Pallas variants
-(enabled via `use_pallas`) that additionally avoid materializing the phase
-factor and compute cos/sin in VMEM.
+expressions below are written on real planes so XLA fuses each into a
+single VPU loop; the stepper swaps in the hand-fused Pallas variants
+(`msm_tpu.ops.pallas_kernels`) when `use_pallas` is enabled and the grid is
+eligible — those also synthesize k^2 from indices instead of reading the
+spec_grid from HBM.
 """
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
-_USE_PALLAS = False
+_USE_PALLAS = os.environ.get("MSM_USE_PALLAS", "1") not in ("0", "false")
 
 
 def use_pallas(enable: bool = True) -> None:
     """Globally toggle the Pallas fast path for phase rotations."""
     global _USE_PALLAS
     _USE_PALLAS = enable
+
+
+def pallas_enabled() -> bool:
+    return _USE_PALLAS
 
 
 def _rotate_jnp(z, theta):
@@ -30,20 +37,12 @@ def _rotate_jnp(z, theta):
 
 
 def apply_kinetic_phase(psik, spec_grid, coeff):
-    """psik * exp(i * coeff * k^2); coeff is a traced scalar."""
-    if _USE_PALLAS:
-        from . import pallas_kernels
-
-        return pallas_kernels.phase_rotate(psik, spec_grid, coeff)
+    """psik * exp(i * coeff * k^2); coeff broadcastable against spec_grid."""
     theta = jnp.asarray(coeff).astype(spec_grid.dtype) * spec_grid
     return _rotate_jnp(psik, theta)
 
 
 def apply_potential_phase(psi, phi, coeff):
-    """psi * exp(i * coeff * phi); phi is real with psi's leading axes."""
-    if _USE_PALLAS:
-        from . import pallas_kernels
-
-        return pallas_kernels.phase_rotate(psi, phi, coeff)
+    """psi * exp(i * coeff * phi); phi is real with psi's shape."""
     theta = jnp.asarray(coeff).astype(phi.dtype) * phi
     return _rotate_jnp(psi, theta)

@@ -110,6 +110,15 @@ class MeshStepper:
         self._step_fn = smap(self.stepper._step, self.state_specs)
         self._init_fn = jax.jit(
             jax.shard_map(
+                lambda re, im: self.stepper._init_from_planes(re, im),
+                mesh=self.mesh,
+                in_specs=(self.psi_spec, self.psi_spec),
+                out_specs=self.state_specs,
+                check_vma=False,
+            )
+        )
+        self._init_fn_z = jax.jit(
+            jax.shard_map(
                 lambda psi: self.stepper._init_from_psi(psi),
                 mesh=self.mesh,
                 in_specs=(self.psi_spec,),
@@ -151,15 +160,27 @@ class MeshStepper:
 
     def init_state(self, psi0, batched: bool = True) -> SimState:
         n_stream = self.mesh.shape[STREAM_AXIS]
-        psi = np.asarray(psi0).astype(self.stepper.dtype)
-        if psi.ndim == self.params.dims:
+        if psi0.ndim == self.params.dims:
             raise ValueError("MeshStepper requires a leading stream batch axis")
-        if psi.shape[0] % n_stream != 0:
+        if psi0.shape[0] % n_stream != 0:
             raise ValueError(
-                f"stream count {psi.shape[0]} not divisible by stream axis {n_stream}"
+                f"stream count {psi0.shape[0]} not divisible by stream axis {n_stream}"
             )
-        psi = jax.device_put(psi, NamedSharding(self.mesh, self.psi_spec))
-        return self._init_fn(psi)
+        sharding = NamedSharding(self.mesh, self.psi_spec)
+        if isinstance(psi0, jax.Array):
+            # already on-device: reshard without a host round trip
+            return self._init_fn_z(jax.device_put(psi0, sharding))
+        arr = np.asarray(psi0)
+        rdtype = np.dtype(self.stepper.rdtype)
+        re = jax.device_put(np.ascontiguousarray(arr.real, rdtype), sharding)
+        im = jax.device_put(np.ascontiguousarray(arr.imag, rdtype), sharding)
+        return self._init_fn(re, im)
+
+    def gather_psi(self, state: SimState) -> np.ndarray:
+        """Fetch the full (streams, *grid) psi to host (complex-safe)."""
+        from ..utils.transfer import device_get_complex
+
+        return device_get_complex(state.psi)
 
     def evolve_to_next_dump(self, state: SimState, batched: bool = True) -> SimState:
         return self._evolve(state, self.consts)
@@ -176,6 +197,3 @@ class MeshStepper:
     def not_finished(self, state: SimState) -> bool:
         return self.stepper.not_finished(state)
 
-    def gather_psi(self, state: SimState) -> np.ndarray:
-        """Fetch the full (streams, *grid) psi to host."""
-        return np.asarray(jax.device_get(state.psi))

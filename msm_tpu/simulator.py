@@ -36,6 +36,7 @@ from .io.npy import AsyncGridWriter, dump_dir, load_complex_pair, psi_path
 from .models.ics import build_ics
 from .models.sampling import sample_quantum_perturbation, sample_stream_batch
 from .stepper import SimState, Stepper
+from .utils.transfer import device_get_complex, device_put_complex
 
 log = logging.getLogger(__name__)
 
@@ -139,7 +140,7 @@ def run_single(
         psi0 = build_ics(params)
         if params.sampling is not None:
             psi0 = sample_quantum_perturbation(
-                jnp.asarray(psi0, dtype),
+                device_put_complex(psi0, dtype),
                 params,
                 params.sampling.seed,
                 params.sampling.scheme,
@@ -161,7 +162,7 @@ def run_single(
     t_start = _time.monotonic()
     try:
         if not resume:
-            run.dump_field(np.asarray(state.psi), 0)
+            run.dump_field(device_get_complex(state.psi), 0)
             if params.output_potential:
                 run.dump_field(np.asarray(stepper.potential(state.psi)), 0, "potential")
             run.write_manifest(_state_scalars(state))
@@ -173,7 +174,7 @@ def run_single(
                 break
             state = stepper.snap_after_dump(state)
             idx = int(state.current_dumps)
-            run.dump_field(np.asarray(state.psi), idx)
+            run.dump_field(device_get_complex(state.psi), idx)
             if params.output_potential:
                 run.dump_field(
                     np.asarray(stepper.potential(state.psi)), idx, "potential"
@@ -200,13 +201,19 @@ def run_config(
     test_only: bool = False,
     batch_streams: bool = True,
     strict_alias: bool = False,
+    online_synthesis: bool = False,
 ) -> Sequence[SimState]:
     """Run every stream of a config plus the MFT.
 
     With `batch_streams` (default) the whole ensemble advances as one
-    vmapped state; otherwise runs are sequential like the reference.
+    batched state; otherwise runs are sequential like the reference.
+    With `online_synthesis` the `-combined/` ensemble averages and the Qx
+    series are reduced on-device at every dump boundary during the run
+    (synthesis.OnlineCombiner), so no offline synthesize pass is needed.
     """
     all_params = list(iter_stream_parameters(toml))
+    if online_synthesis and (not batch_streams or len(all_params) == 1):
+        raise ValueError("online synthesis requires batched streams")
     if not batch_streams or len(all_params) == 1:
         states = []
         with AsyncGridWriter() as writer:
@@ -229,7 +236,7 @@ def run_config(
     stream_params = all_params[:-1]
     stepper = Stepper(mft_params, dtype)
 
-    base_psi = jnp.asarray(np.asarray(build_ics(mft_params)).astype(dtype))
+    base_psi = device_put_complex(build_ics(mft_params), dtype)
     seeds = jnp.asarray([p.sampling.seed for p in stream_params], jnp.uint32)
     scheme = stream_params[0].sampling.scheme
     sampled = sample_stream_batch(base_psi, mft_params, seeds, scheme)
@@ -255,17 +262,33 @@ def run_config(
         for r in runs:
             r.writer = writer
 
-        psi_np = np.asarray(state.psi)
+        combiner = None
+        if online_synthesis:
+            from .synthesis import online_combiner_for
+
+            combiner = online_combiner_for(toml, data_root, writer)
+
+        def combine_dump(valid_streams: np.ndarray, dump_idx: int):
+            # weights: streams that produced this dump; the MFT (last batch
+            # element) never participates in the ensemble average.
+            if combiner is None or not valid_streams[:-1].any():
+                return
+            weights = valid_streams.copy()
+            weights[-1] = False
+            combiner.on_dump(state.psi, weights, dump_idx)
+
+        psi_np = device_get_complex(state.psi)
         for i, r in enumerate(runs):
             r.dump_field(psi_np[i], 0)
             r.write_manifest(_state_scalars(state, i))
+        combine_dump(np.ones(n, bool), 0)
 
         while stepper.not_finished(state):
             state = stepper.evolve_to_next_dump(state, batched=True)
             aliased = np.asarray(state.aliased)
             just_dumped = np.asarray(state.just_dumped)
             state = stepper.snap_after_dump(state)
-            psi_np = np.asarray(state.psi)
+            psi_np = device_get_complex(state.psi)
             dumps_np = np.asarray(state.current_dumps)
             for i, r in enumerate(runs):
                 if aliased[i]:
@@ -278,12 +301,18 @@ def run_config(
                     scalars = _state_scalars(state, i)
                     scalars["wall_time_ms"] = (_time.monotonic() - t_start) * 1e3
                     r.write_manifest(scalars)
+            if just_dumped.any():
+                combine_dump(
+                    just_dumped & ~aliased, int(dumps_np[just_dumped.argmax()])
+                )
             if verbose:
                 done = int(dumps_np.min())
                 print(
                     f"({toml.sim_name}) ensemble at dump >= {done}/"
                     f"{toml.num_data_dumps}"
                 )
+        if combiner is not None:
+            combiner.finalize()
     return [state]
 
 

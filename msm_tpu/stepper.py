@@ -40,6 +40,8 @@ from . import cosmo as cosmo_mod
 from .config import SimulationParameters
 from .constants import POIS_CONST
 from .grid import spec_grid as build_spec_grid
+from .ops import pallas_kernels as pk
+from .ops import phase as phase_ops
 from .ops.phase import apply_kinetic_phase, apply_potential_phase
 
 
@@ -103,6 +105,14 @@ class Stepper:
         # Time bookkeeping in float64 when enabled (x64 mode), else float32.
         self.tdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.spatial_axis = spatial_axis
+        # Fused Pallas kernels synthesize the k-grid from indices in-register
+        # (no spec_grid HBM reads); single-device path only — the sharded
+        # path's local blocks see shard-local indices.
+        self.use_pallas = (
+            phase_ops.pallas_enabled()
+            and spatial_axis is None
+            and pk.eligible((params.size,) * params.dims, params.dims)
+        )
 
         p = params
         spec = build_spec_grid(p.dx, p.dims, p.size)
@@ -151,7 +161,8 @@ class Stepper:
         self._jit_evolve = jax.jit(self._evolve_to_next_dump)
         self._jit_potential = jax.jit(self._potential)
         self._jit_snap = jax.jit(self._snap_after_dump)
-        self._jit_init = jax.jit(self._init_from_psi)
+        self._jit_init = jax.jit(self._init_from_planes)
+        self._jit_init_z = jax.jit(self._init_from_psi)
 
     # ------------------------------------------------------------------
     # Axis helpers (batch-generic + mesh-collective aware)
@@ -194,15 +205,78 @@ class Stepper:
         return jnp.fft.ifftn(xk, axes=self._spatial_axes, norm="ortho")
 
     # ------------------------------------------------------------------
+    # Fused elementwise ops (Pallas fast path with jnp fallback)
+    # ------------------------------------------------------------------
+
+    def _as_batch(self, x):
+        """Flatten leading axes to one batch axis; return (array, restore)."""
+        dims = self.params.dims
+        lead = x.shape[: x.ndim - dims]
+        grid = x.shape[x.ndim - dims :]
+        flat = x.reshape((int(np.prod(lead)) if lead else 1,) + grid)
+        return flat, lambda y: y.reshape(lead + grid)
+
+    def _flat_coeff(self, coeff, batch: int):
+        return jnp.broadcast_to(coeff.reshape(-1), (batch,))
+
+    def _apply_kinetic(self, psik, coeff, consts: StepConsts):
+        """psik * exp(i * coeff * k^2); coeff is a per-stream scalar array."""
+        if self.use_pallas:
+            p = self.params
+            zb, restore = self._as_batch(psik)
+            scale = pk.kinetic_scale(
+                self._flat_coeff(coeff, zb.shape[0]), p.size, p.dx
+            )
+            return restore(pk.kinetic_phase(zb, scale, p.size, p.dims))
+        return apply_kinetic_phase(psik, consts.spec_grid, self._bcast(coeff))
+
+    def _apply_potential(self, psi, phi, coeff):
+        """psi * exp(i * coeff * phi); coeff is a per-stream scalar array."""
+        if self.use_pallas:
+            zb, restore = self._as_batch(psi)
+            fb, _ = self._as_batch(jnp.broadcast_to(phi, psi.shape))
+            return restore(
+                pk.phase_rotate(zb, fb, self._flat_coeff(coeff, zb.shape[0]))
+            )
+        return apply_potential_phase(psi, phi, self._bcast(coeff))
+
+    def _poisson_multiply(self, rho_k, consts: StepConsts):
+        """phi_k = -poisson_coeff * rho_k / k^2 with the k=0 mode zeroed."""
+        if self.use_pallas:
+            p = self.params
+            zb, restore = self._as_batch(rho_k)
+            scale = jnp.full(
+                (zb.shape[0],),
+                pk.poisson_scale(self.poisson_coeff, p.size, p.dx),
+                self.rdtype,
+            )
+            return restore(pk.poisson_multiply(zb, scale, p.size, p.dims))
+        spec = consts.spec_grid
+        inv_k2 = jnp.where(spec > 0.0, 1.0, 0.0) / jnp.where(spec > 0.0, spec, 1.0)
+        return (-self.poisson_coeff * inv_k2).astype(rho_k.dtype) * rho_k
+
+    # ------------------------------------------------------------------
     # State construction
     # ------------------------------------------------------------------
 
     def init_state(self, psi0, batched: bool = False) -> SimState:
         """Build the initial state; psik is populated with F[psi] up front
         (the reference lazily initializes it on the first update,
-        simulation_object.rs:477-479)."""
-        psi = np.asarray(psi0).astype(self.dtype)
-        return self._jit_init(psi)
+        simulation_object.rs:477-479).
+
+        psi0 may be a host array: it is uploaded as real/imag planes (the
+        axon backend cannot transfer complex dtypes, utils/transfer.py).
+        """
+        if isinstance(psi0, jax.Array):
+            return self._jit_init_z(psi0)
+        arr = np.asarray(psi0)
+        rdtype = np.dtype(self.rdtype)
+        re = np.ascontiguousarray(arr.real, dtype=rdtype)
+        im = np.ascontiguousarray(arr.imag, dtype=rdtype)
+        return self._jit_init(re, im)
+
+    def _init_from_planes(self, re, im) -> SimState:
+        return self._init_from_psi(jax.lax.complex(re, im))
 
     def _init_from_psi(self, psi) -> SimState:
         psi = psi.astype(self.dtype)
@@ -246,13 +320,11 @@ class Stepper:
         phi = Re F^-1[phi_k].
         """
         consts = consts if consts is not None else self.consts
-        spec = consts.spec_grid
         rho = jnp.asarray(self.density_prefactor, self.rdtype) * jnp.real(
             psi * jnp.conj(psi)
         )
         rho_k = self._fwd(rho.astype(self.dtype))
-        inv_k2 = jnp.where(spec > 0.0, 1.0, 0.0) / jnp.where(spec > 0.0, spec, 1.0)
-        phi_k = (-self.poisson_coeff * inv_k2).astype(self.dtype) * rho_k
+        phi_k = self._poisson_multiply(rho_k, consts)
         return jnp.real(self._inv(phi_k))
 
     def _timestep(self, phi, state: SimState, consts: StepConsts):
@@ -304,22 +376,21 @@ class Stepper:
     def _step_static(self, state: SimState, consts: StepConsts) -> SimState:
         """One static-space KDK step (update, :475-661)."""
         p, hbar_ = self.params, self.params.hbar_
-        spec = consts.spec_grid
 
         phi = self._potential(state.psi, consts)
         dt, is_dump = self._timestep(phi, state, consts)
-        kcoeff = self._bcast((-dt / 4.0 * hbar_).astype(self.rdtype))
-        vcoeff = self._bcast((-dt / hbar_).astype(self.rdtype))
+        kcoeff = (-dt / 4.0 * hbar_).astype(self.rdtype)
+        vcoeff = (-dt / hbar_).astype(self.rdtype)
 
         # Half kick in k-space: exp(-i * dt/4 * hbar_ * k^2) (:504-516)
-        psik = apply_kinetic_phase(state.psik, spec, kcoeff)
+        psik = self._apply_kinetic(state.psik, kcoeff, consts)
         psi = self._inv(psik)
         # Full potential kick at the half-step: exp(-i * dt/hbar_ * phi) (:530-545)
         phi = self._potential(psi, consts)
-        psi = apply_potential_phase(psi, phi, vcoeff)
+        psi = self._apply_potential(psi, phi, vcoeff)
         psik = self._fwd(psi)
         # Second half kick (:562-574)
-        psik = apply_kinetic_phase(psik, spec, kcoeff)
+        psik = self._apply_kinetic(psik, kcoeff, consts)
         psi = self._inv(psik)
 
         time = state.time + dt
@@ -346,25 +417,24 @@ class Stepper:
         """
         p = self.params
         c = p.cosmology
-        spec = consts.spec_grid
 
         phi = self._potential(state.psi, consts)
         dtau, is_dump = self._timestep(phi, state, consts)
-        kcoeff = self._bcast((-dtau / 4.0).astype(self.rdtype))
+        kcoeff = (-dtau / 4.0).astype(self.rdtype)
 
-        psik = apply_kinetic_phase(state.psik, spec, kcoeff)
+        psik = self._apply_kinetic(state.psik, kcoeff, consts)
         psi = self._inv(psik)
         phi = self._potential(psi, consts)
 
         a, t, tau = state.a, state.time, state.tau
         for _ in range(2):
-            vcoeff = self._bcast(((-dtau / 2.0) * a).astype(self.rdtype))
-            psi = apply_potential_phase(psi, phi, vcoeff)
+            vcoeff = ((-dtau / 2.0) * a).astype(self.rdtype)
+            psi = self._apply_potential(psi, phi, vcoeff)
             a, t = cosmo_mod.advance_a_t_by_dtau(a, t, dtau / 2.0, c)
             tau = tau + dtau / 2.0
 
         psik = self._fwd(psi)
-        psik = apply_kinetic_phase(psik, spec, kcoeff)
+        psik = self._apply_kinetic(psik, kcoeff, consts)
         psi = self._inv(psik)
 
         alias_mass = self._alias_mass(psik, consts)

@@ -43,6 +43,7 @@ from .config import (
     get_supercomoving_boxsize,
 )
 from .io.npy import AsyncGridWriter, load_complex_pair, write_complex_pair
+from .utils.transfer import device_get_complex, device_put_complex
 
 # Streams are reduced in device batches of this many grids to bound memory.
 DEFAULT_STREAM_CHUNK = 16
@@ -139,7 +140,7 @@ def analyze_sims(
                     g = load_complex_pair(os.path.join(d, f"psi_{dump:05d}"))
                     size = g.shape[0]
                     grids.append(g.reshape((size,) * dims))
-                psi_chunk = jnp.asarray(np.stack(grids), dtype)
+                psi_chunk = device_put_complex(np.stack(grids), dtype)
                 partial = reduce_chunk(psi_chunk)
                 for name in names:
                     totals[name] = (
@@ -150,7 +151,7 @@ def analyze_sims(
                 nsims += len(batch_dirs)
             assert nsims > 0
             for name in names:
-                avg = np.asarray(totals[name]) / nsims
+                avg = device_get_complex(totals[name]) / nsims
                 size = avg.shape[0]
                 pad = (1,) * (4 - dims)
                 avg4 = avg.reshape((size,) * dims + pad)
@@ -214,3 +215,94 @@ def synthesize_toml(
     sim_base = os.path.join(data_root, toml.sim_name)
     analyze_sims(functions, sim_base, dumps, toml.dims, dtype, stream_chunk)
     return post_combine(functions, sim_base, dumps)
+
+
+# ---------------------------------------------------------------------------
+# Online synthesis: combine during the batched run (no dump re-read)
+# ---------------------------------------------------------------------------
+
+
+class OnlineCombiner:
+    """Ensemble reductions computed on-device at each dump boundary.
+
+    The reference synthesizer is a second program that re-reads every stream
+    dump from disk (`synthesizer/src/lib.rs:106-342`). When the ensemble
+    runs as one batched state, the combined fields are a masked mean over
+    the stream axis already resident on device — so this combiner evaluates
+    psi / psi2 / psik / psik2 (and the Qx series) during the simulation and
+    writes the identical `-combined/` layout, skipping the offline pass.
+
+    Aliased (frozen) streams drop out of the average from the dump at which
+    they aliased, via the validity weights.
+    """
+
+    def __init__(
+        self,
+        sim_base: str,
+        dims: int,
+        dv: float,
+        writer: Optional[AsyncGridWriter] = None,
+    ):
+        self.dims = dims
+        self.dv = dv
+        self.out_dir = combined_dir(sim_base)
+        self.writer = writer
+        self.qx_series: dict[int, complex] = {}
+
+        @jax.jit
+        def combine(psi_streams, weights):
+            w = weights.reshape((-1,) + (1,) * dims)
+            n = jnp.maximum(jnp.sum(weights), 1.0)
+            psik = _unnormalized_fft(psi_streams, dims)
+            out = {
+                "psi": jnp.sum(psi_streams * w, axis=0) / n,
+                "psi2": jnp.sum(psi_streams * jnp.conj(psi_streams) * w, axis=0) / n,
+                "psik": jnp.sum(psik * w, axis=0) / n,
+                "psik2": jnp.sum(psik * jnp.conj(psik) * w, axis=0) / n,
+            }
+            return out
+
+        self._combine = combine
+
+    def on_dump(self, psi_streams, valid: np.ndarray, dump: int) -> None:
+        """Reduce the (n_streams, *grid) device batch and write the dump."""
+        weights = jnp.asarray(valid.astype(np.float32 if psi_streams.dtype == jnp.complex64 else np.float64))
+        fields = self._combine(psi_streams, weights)
+        host = {name: device_get_complex(arr) for name, arr in fields.items()}
+        size = host["psi"].shape[0]
+        pad = (1,) * (4 - self.dims)
+        for name, arr in host.items():
+            arr4 = arr.reshape((size,) * self.dims + pad)
+            if self.writer is not None:
+                self.writer.submit(os.path.join(self.out_dir, f"{name}_{dump:05d}"), arr4)
+            else:
+                write_complex_pair(os.path.join(self.out_dir, f"{name}_{dump:05d}"), arr4)
+        self.qx_series[dump] = complex(
+            np.sum(host["psi2"] - host["psi"] * np.conj(host["psi"])) * self.dv
+        )
+
+    def finalize(self) -> None:
+        """Write the Qx time series (`synthesizer/src/main.rs:161-173`)."""
+        if not self.qx_series:
+            return
+        dumps = sorted(self.qx_series)
+        arr = np.asarray([self.qx_series[d] for d in dumps], np.complex128).reshape(
+            len(dumps), 1, 1, 1
+        )
+        write_complex_pair(os.path.join(self.out_dir, "Qx"), arr)
+
+
+def online_combiner_for(
+    toml: TomlParameters,
+    data_root: str = "sim-data",
+    writer: Optional[AsyncGridWriter] = None,
+) -> OnlineCombiner:
+    if toml.cosmology is not None:
+        _, hbar_ = determine_pmass_hbar(toml)
+        box = get_supercomoving_boxsize(hbar_, toml.cosmology, toml.axis_length)
+        dv = (box / toml.size) ** toml.dims
+    else:
+        dv = (toml.axis_length / toml.size) ** toml.dims
+    return OnlineCombiner(
+        os.path.join(data_root, toml.sim_name), toml.dims, dv, writer
+    )

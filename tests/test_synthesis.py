@@ -126,3 +126,48 @@ def test_full_pipeline_on_simulated_data(tmp_path):
     # Qx is real and non-negative up to roundoff (it is a variance sum)
     assert np.all(qx.real > -1e-12)
     assert np.all(np.abs(qx.imag) < 1e-12)
+
+
+def test_online_matches_offline(tmp_path):
+    """Online (in-run, on-device) synthesis must reproduce the offline
+    combiner's files exactly."""
+    toml = cfg.parse_toml_dict(
+        {
+            "axis_length": 30,
+            "final_sim_time": 0.5,
+            "num_data_dumps": 2,
+            "cfl": 0.5,
+            "total_mass": 1e8,
+            "ntot": 1e6,
+            "hbar_": 0.05,
+            "sim_name": "online",
+            "k2_cutoff": 0.95,
+            "alias_threshold": 0.9,
+            "dims": 2,
+            "size": 16,
+            "ics": {"type": "SphericalTophat", "radius": 5.0, "slope": 50, "delta": 10},
+            "sampling": {"seeds": "1 to 4", "scheme": "Wigner"},
+        }
+    )
+    from msm_tpu import simulator
+
+    root_on = str(tmp_path / "on")
+    root_off = str(tmp_path / "off")
+    simulator.run_config(
+        toml, dtype=jnp.complex128, data_root=root_on, online_synthesis=True
+    )
+    simulator.run_config(toml, dtype=jnp.complex128, data_root=root_off)
+    synthesis.synthesize_toml(toml, data_root=root_off, dtype=jnp.complex128)
+
+    for dump in range(3):
+        for name in ("psi", "psi2", "psik", "psik2"):
+            a = load_complex_pair(
+                os.path.join(root_on, "online-combined", f"{name}_{dump:05d}")
+            )
+            b = load_complex_pair(
+                os.path.join(root_off, "online-combined", f"{name}_{dump:05d}")
+            )
+            np.testing.assert_allclose(a, b, atol=1e-11, err_msg=f"{name} dump {dump}")
+    qa = load_complex_pair(os.path.join(root_on, "online-combined", "Qx"))
+    qb = load_complex_pair(os.path.join(root_off, "online-combined", "Qx"))
+    np.testing.assert_allclose(qa, qb, atol=1e-11)

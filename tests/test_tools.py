@@ -1,0 +1,107 @@
+"""Tooling tests: Zel'dovich IC generator, plotting smoke, check_var."""
+
+import os
+
+import numpy as np
+import pytest
+
+from msm_tpu import config as cfg
+from msm_tpu.tools import zeldovich
+
+
+def test_zeldovich_psi_properties():
+    zcfg = zeldovich.PlaneWaveConfig(size=16)
+    psi = zeldovich.zeldovich_psi(zcfg)
+    assert psi.shape == (16, 16, 16)
+    # normalized to unit mass with dx = L/N along ONE axis (the reference's
+    # convention, sim.py:179: Mtot = sum |psi|^2 * dx)
+    dx = zcfg.axis_length / zcfg.size
+    assert np.sum(np.abs(psi) ** 2) * dx == pytest.approx(1.0, rel=1e-10)
+    assert np.all(np.isfinite(psi))
+    # density is symmetric under axis permutation for equal amplitudes
+    dens = np.abs(psi) ** 2
+    np.testing.assert_allclose(dens, dens.transpose(1, 0, 2), atol=1e-12)
+
+
+def test_zeldovich_generate_and_ingest(tmp_path):
+    zcfg = zeldovich.PlaneWaveConfig(sim_name="pw-test", size=16, n_streams=2)
+    paths = zeldovich.generate(zcfg, str(tmp_path))
+    assert os.path.exists(paths["npz"])
+
+    toml = cfg.read_toml(paths["toml"])
+    assert toml.sim_name == "pw-test"
+    assert toml.sampling.seeds == (1, 2)
+    assert toml.cosmology is not None
+    mft = cfg.read_toml(paths["mft_toml"])
+    assert mft.sampling is None
+    assert mft.sim_name == "pw-test-mft"
+
+    # the generated npz must load through the UserSpecified IC path
+    from msm_tpu.models.ics import build_ics
+
+    p = cfg.resolve_parameters(toml)
+    psi = build_ics(p)
+    assert psi.shape == (16, 16, 16)
+
+
+def test_plotting_smoke(tmp_path, rng):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from msm_tpu.io.npy import write_complex_pair
+    from msm_tpu.tools import plotting
+
+    sim_dir = tmp_path / "plotsim"
+    os.makedirs(sim_dir)
+    for dump in range(3):
+        psi = rng.standard_normal((8, 8, 8, 1)) + 1j * rng.standard_normal((8, 8, 8, 1))
+        write_complex_pair(str(sim_dir / f"psi_{dump:05d}"), psi)
+
+    assert plotting.count_dumps(str(sim_dir)) == 3
+    fig = plotting.density_frame(str(sim_dir), 1)
+    assert fig is not None
+    frames = plotting.density_movie_frames(str(sim_dir), str(tmp_path / "frames"))
+    assert len(frames) == 3
+    assert all(os.path.exists(f) for f in frames)
+
+    r, m = plotting.radial_profile(np.abs(rng.standard_normal((8, 8, 8))), 30.0)
+    assert r.shape == m.shape
+
+    fig = plotting.density_panels(str(sim_dir), 0, axis_length=30.0, hbar_=0.05)
+    assert fig is not None
+
+
+def test_check_var_statistics(tmp_path):
+    """Run a small Poisson ensemble; the count excess must have mean/var
+    consistent with shot noise (the check_var.py validation)."""
+    import jax.numpy as jnp
+
+    from msm_tpu import simulator, synthesis
+    from msm_tpu.tools import check_var
+
+    toml = cfg.parse_toml_dict(
+        {
+            "axis_length": 16.0,
+            "final_sim_time": 0.01,
+            "cfl": 0.5,
+            "num_data_dumps": 1,
+            "total_mass": 1e8,
+            "ntot": 1e5,
+            "hbar_": 0.05,
+            "sim_name": "cv",
+            "k2_cutoff": 0.95,
+            "alias_threshold": 1e9,
+            "dims": 2,
+            "size": 16,
+            "ics": {"type": "ColdGauss", "mean": [8.0, 8.0], "std": [3.0, 3.0]},
+            "sampling": {"seeds": "1 to 32", "scheme": "Poisson"},
+        }
+    )
+    root = str(tmp_path / "sim-data")
+    simulator.run_config(toml, dtype=jnp.complex128, data_root=root)
+    synthesis.synthesize_toml(toml, data_root=root, dtype=jnp.complex128)
+    stats = check_var.check_toml(toml, data_root=root, dump=0)
+    # Poisson: E[count'] = count => excess mean ~ 0; var over cells is the
+    # per-cell lambda averaged (bounded by max cell occupancy / n_streams)
+    assert abs(stats["mean"]) < 50.0
+    assert stats["var"] > 0.0
