@@ -61,6 +61,7 @@ def cmd_simulate(args) -> int:
         batch_streams=not args.sequential_streams,
         strict_alias=args.strict_alias,
         online_synthesis=args.online_synthesis,
+        resume=args.resume,
     )
     n = cfg.stream_count(toml)
     if n > 1:
@@ -109,6 +110,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--online-synthesis",
         action="store_true",
         help="reduce -combined/ ensemble averages on-device during the run",
+    )
+    sim.add_argument(
+        "--resume",
+        action="store_true",
+        help="resume every run from its checkpoint manifest + last dump",
     )
     sim.set_defaults(fn=cmd_simulate)
 

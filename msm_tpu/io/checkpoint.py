@@ -26,6 +26,7 @@ def write_manifest(
     a: float = 1.0,
     n_steps: int = 0,
     wall_time_ms: float = 0.0,
+    aliased: bool = False,
     extra: Optional[dict[str, Any]] = None,
 ) -> None:
     payload = {
@@ -36,6 +37,7 @@ def write_manifest(
         "a": float(a),
         "n_steps": int(n_steps),
         "wall_time_ms": float(wall_time_ms),
+        "aliased": bool(aliased),
     }
     if extra:
         payload.update(extra)

@@ -12,14 +12,15 @@ spec_grid array from HBM at all — saving a full f32 grid read per call:
   phase_rotate     : z <- z * exp(i * coeff * field) (generic, field loaded)
 
 All kernels operate on (B, *grid) with a per-stream scalar coefficient in
-SMEM (scalar prefetch), processing one z-plane (3-D) or one stream (2-D)
-per grid step. Complex arrays travel as separate real/imag f32 planes
-(TPU Pallas has no native complex dtype).
+SMEM (scalar prefetch). Grids are processed in z-plane chunks sized to stay
+well inside VMEM (a whole-grid block at 256^3 would need ~0.5 GB). Complex
+arrays travel as separate real/imag planes (TPU Pallas has no native
+complex dtype).
 
-Eligibility: cube grids, dims in {2, 3}, X a multiple of 128 and Y of 8
-(f32 tiling); callers fall back to the jnp path otherwise
-(`msm_tpu.ops.phase`). Kernels run in interpret mode off-TPU so the same
-code path is testable on CPU.
+Eligibility: cube grids, dims in {2, 3}, X a multiple of 128 (f32 lane
+tiling); callers fall back to the jnp path otherwise (`msm_tpu.ops.phase`).
+Kernels run in interpret mode off-TPU so the same code path is testable on
+CPU.
 """
 
 from __future__ import annotations
@@ -37,6 +38,20 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+# Per-kernel scoped VMEM budget. The pipeline double-buffers every ref, so a
+# 5-ref phase_rotate at the 2 MB z-chunk size needs ~20 MB + iota temps —
+# beyond the 16 MB default but well within a v5e core's VMEM.
+_VMEM_LIMIT = 96 * 1024 * 1024
+
+
+def _z_block(size: int) -> int:
+    """Planes per grid step: <=8, dividing size, <=4 MB f32 per ref."""
+    zb = max(1, min(8, (1 << 20) // (size * size)))
+    while size % zb:
+        zb -= 1
+    return zb
+
+
 def eligible(shape: tuple[int, ...], dims: int) -> bool:
     """Whether the fused kernels support this grid."""
     if dims not in (2, 3):
@@ -47,23 +62,44 @@ def eligible(shape: tuple[int, ...], dims: int) -> bool:
     return size % 128 == 0
 
 
-def _freq_sq_plane(size: int, dtype):
-    """(q_y^2 + q_x^2) for one (size, size) plane, from iota (no HBM read).
+def _freq_sq(zi, zb: int, size: int, dims: int, dtype):
+    """q^2 over one (1, zb, S, S) block (3-D) or (1, S, S) plane (2-D).
 
     q(i) = i for i < size/2 else i - size — the integer fftfreq numerator
-    (`simulator/src/utils/fft.rs:100-120`).
+    (`simulator/src/utils/fft.rs:100-120`). Synthesized from iota; zero HBM
+    traffic.
     """
-    row = jax.lax.broadcasted_iota(jnp.int32, (size, size), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (size, size), 1)
     half = size // 2
-    qy = jnp.where(row < half, row, row - size).astype(dtype)
-    qx = jnp.where(col < half, col, col - size).astype(dtype)
+    if dims == 3:
+        shape = (1, zb, size, size)
+        z_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + zi * zb
+        y_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        x_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
+        qz = jnp.where(z_idx < half, z_idx, z_idx - size).astype(dtype)
+        qy = jnp.where(y_idx < half, y_idx, y_idx - size).astype(dtype)
+        qx = jnp.where(x_idx < half, x_idx, x_idx - size).astype(dtype)
+        return qz * qz + qy * qy + qx * qx
+    shape = (1, size, size)
+    y_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    x_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    qy = jnp.where(y_idx < half, y_idx, y_idx - size).astype(dtype)
+    qx = jnp.where(x_idx < half, x_idx, x_idx - size).astype(dtype)
     return qy * qy + qx * qx
 
 
-def _qz(zi, size: int, dtype):
-    half = size // 2
-    return jnp.where(zi < half, zi, zi - size).astype(dtype)
+def _grid_and_specs(z_shape: tuple[int, ...], size: int, dims: int):
+    """(grid, BlockSpec) chunking a (B, *grid) array into z-plane blocks."""
+    batch = z_shape[0]
+    if dims == 3:
+        zb = _z_block(size)
+        grid = (batch, size // zb)
+        block = (1, zb, size, size)
+        index_map = lambda b, zi, *_refs: (b, zi, 0, 0)
+        return grid, pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM), zb
+    grid = (batch,)
+    block = (1, size, size)
+    index_map = lambda b, *_refs: (b, 0, 0)
+    return grid, pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM), 1
 
 
 # ---------------------------------------------------------------------------
@@ -71,20 +107,16 @@ def _qz(zi, size: int, dtype):
 # ---------------------------------------------------------------------------
 
 
-def _kinetic_kernel(scale_ref, re_ref, im_ref, ore_ref, oim_ref, *, size, dims):
+def _kinetic_kernel(scale_ref, re_ref, im_ref, ore_ref, oim_ref, *, size, dims, zb):
     b = pl.program_id(0)
-    scale = scale_ref[b]
-    q2 = _freq_sq_plane(size, re_ref.dtype)
-    if dims == 3:
-        qz = _qz(pl.program_id(1), size, re_ref.dtype)
-        q2 = q2 + qz * qz
-    theta = scale * q2
+    zi = pl.program_id(1) if dims == 3 else 0
+    theta = scale_ref[b] * _freq_sq(zi, zb, size, dims, re_ref.dtype)
     c = jnp.cos(theta)
     s = jnp.sin(theta)
-    re = re_ref[...].reshape(size, size)
-    im = im_ref[...].reshape(size, size)
-    ore_ref[...] = (re * c - im * s).reshape(ore_ref.shape)
-    oim_ref[...] = (re * s + im * c).reshape(oim_ref.shape)
+    re = re_ref[...]
+    im = im_ref[...]
+    ore_ref[...] = re * c - im * s
+    oim_ref[...] = re * s + im * c
 
 
 @functools.partial(jax.jit, static_argnames=("size", "dims"))
@@ -96,18 +128,9 @@ def kinetic_phase(z: jax.Array, scale: jax.Array, size: int, dims: int) -> jax.A
     in (theta = coeff * k^2, k^2 = (2*pi/(N dx))^2 * q^2).
     """
     rdtype = jnp.finfo(z.dtype).dtype
-    batch = z.shape[0]
-    grid = (batch, size) if dims == 3 else (batch,)
-    if dims == 3:
-        block = (1, 1, size, size)
-        index_map = lambda b, zi, _s: (b, zi, 0, 0)
-    else:
-        block = (1, size, size)
-        index_map = lambda b, _s: (b, 0, 0)
-
-    spec = pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+    grid, spec, zb = _grid_and_specs(z.shape, size, dims)
     out = pl.pallas_call(
-        functools.partial(_kinetic_kernel, size=size, dims=dims),
+        functools.partial(_kinetic_kernel, size=size, dims=dims, zb=zb),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -118,6 +141,7 @@ def kinetic_phase(z: jax.Array, scale: jax.Array, size: int, dims: int) -> jax.A
             jax.ShapeDtypeStruct(z.shape, rdtype),
             jax.ShapeDtypeStruct(z.shape, rdtype),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(scale.astype(rdtype), jnp.real(z), jnp.imag(z))
     return jax.lax.complex(out[0], out[1])
@@ -128,17 +152,14 @@ def kinetic_phase(z: jax.Array, scale: jax.Array, size: int, dims: int) -> jax.A
 # ---------------------------------------------------------------------------
 
 
-def _poisson_kernel(scale_ref, re_ref, im_ref, ore_ref, oim_ref, *, size, dims):
+def _poisson_kernel(scale_ref, re_ref, im_ref, ore_ref, oim_ref, *, size, dims, zb):
     b = pl.program_id(0)
-    scale = scale_ref[b]
-    q2 = _freq_sq_plane(size, re_ref.dtype)
-    if dims == 3:
-        qz = _qz(pl.program_id(1), size, re_ref.dtype)
-        q2 = q2 + qz * qz
+    zi = pl.program_id(1) if dims == 3 else 0
+    q2 = _freq_sq(zi, zb, size, dims, re_ref.dtype)
     nonzero = q2 > 0.0
-    factor = jnp.where(nonzero, scale / jnp.where(nonzero, q2, 1.0), 0.0)
-    ore_ref[...] = (re_ref[...].reshape(size, size) * factor).reshape(ore_ref.shape)
-    oim_ref[...] = (im_ref[...].reshape(size, size) * factor).reshape(oim_ref.shape)
+    factor = jnp.where(nonzero, scale_ref[b] / jnp.where(nonzero, q2, 1.0), 0.0)
+    ore_ref[...] = re_ref[...] * factor
+    oim_ref[...] = im_ref[...] * factor
 
 
 @functools.partial(jax.jit, static_argnames=("size", "dims"))
@@ -153,18 +174,9 @@ def poisson_multiply(
     (`simulation_object.rs:1076-1102`).
     """
     rdtype = jnp.finfo(rho_k.dtype).dtype
-    batch = rho_k.shape[0]
-    grid = (batch, size) if dims == 3 else (batch,)
-    if dims == 3:
-        block = (1, 1, size, size)
-        index_map = lambda b, zi, _s: (b, zi, 0, 0)
-    else:
-        block = (1, size, size)
-        index_map = lambda b, _s: (b, 0, 0)
-
-    spec = pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+    grid, spec, zb = _grid_and_specs(rho_k.shape, size, dims)
     out = pl.pallas_call(
-        functools.partial(_poisson_kernel, size=size, dims=dims),
+        functools.partial(_poisson_kernel, size=size, dims=dims, zb=zb),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -175,6 +187,7 @@ def poisson_multiply(
             jax.ShapeDtypeStruct(rho_k.shape, rdtype),
             jax.ShapeDtypeStruct(rho_k.shape, rdtype),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(scale.astype(rdtype), jnp.real(rho_k), jnp.imag(rho_k))
     return jax.lax.complex(out[0], out[1])
@@ -196,23 +209,21 @@ def _rotate_kernel(coeff_ref, re_ref, im_ref, f_ref, ore_ref, oim_ref):
     oim_ref[...] = re * s + im * c
 
 
-@jax.jit
-def phase_rotate(z: jax.Array, field: jax.Array, coeff: jax.Array) -> jax.Array:
-    """z * exp(i * coeff_b * field) — one fused VPU pass per stream.
+@functools.partial(jax.jit, static_argnames=("size", "dims"))
+def phase_rotate(
+    z: jax.Array, field: jax.Array, coeff: jax.Array, size: int, dims: int
+) -> jax.Array:
+    """z * exp(i * coeff_b * field) — one fused VPU pass per z-chunk.
 
     z: (B, *grid) complex; field: (B, *grid) real; coeff: (B,).
     """
     rdtype = jnp.finfo(z.dtype).dtype
-    batch = z.shape[0]
-    rest = z.shape[1:]
-    block = (1,) + rest
-    index_map = lambda b, _s: (b,) + (0,) * len(rest)
-    spec = pl.BlockSpec(block, index_map, memory_space=pltpu.VMEM)
+    grid, spec, _zb = _grid_and_specs(z.shape, size, dims)
     out = pl.pallas_call(
         _rotate_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(batch,),
+            grid=grid,
             in_specs=[spec, spec, spec],
             out_specs=[spec, spec],
         ),
@@ -220,6 +231,7 @@ def phase_rotate(z: jax.Array, field: jax.Array, coeff: jax.Array) -> jax.Array:
             jax.ShapeDtypeStruct(z.shape, rdtype),
             jax.ShapeDtypeStruct(z.shape, rdtype),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(coeff.astype(rdtype), jnp.real(z), jnp.imag(z), field.astype(rdtype))
     return jax.lax.complex(out[0], out[1])

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 import time as _time
 from typing import Optional, Sequence
 
@@ -84,7 +85,46 @@ def _state_scalars(state: SimState, i: Optional[int] = None) -> dict:
         "tau": float(pick(state.tau)),
         "a": float(pick(state.a)),
         "n_steps": int(pick(state.n_steps)),
+        "aliased": bool(pick(state.aliased)),
     }
+
+
+def _try_resume_batch(all_params, stepper: Stepper, data_root: str):
+    """Rebuild a batched SimState from per-run manifests + last psi dumps.
+
+    Returns None when any run lacks a usable checkpoint (fresh start).
+    """
+    manifests = []
+    for p in all_params:
+        d = os.path.join(data_root, p.sim_name)
+        m = load_manifest(d)
+        if m is None:
+            return None
+        manifests.append(m)
+    if all(m["current_dumps"] == 0 for m in manifests):
+        return None
+
+    psis = []
+    for p, m in zip(all_params, manifests):
+        d = os.path.join(data_root, p.sim_name)
+        base = psi_path(d, m["current_dumps"])
+        psis.append(load_complex_pair(base).reshape(p.shape))
+    state = stepper.init_state(np.stack(psis), batched=True)
+
+    def arr(key, dtype):
+        return jnp.asarray([m[key] for m in manifests], dtype)
+
+    return dataclasses.replace(
+        state,
+        time=arr("time", stepper.tdtype),
+        tau=arr("tau", stepper.tdtype),
+        a=arr("a", stepper.tdtype),
+        current_dumps=arr("current_dumps", jnp.int32),
+        n_steps=arr("n_steps", jnp.int32),
+        aliased=jnp.asarray(
+            [bool(m.get("aliased", False)) for m in manifests], jnp.bool_
+        ),
+    )
 
 
 def _report_aliasing(
@@ -202,6 +242,7 @@ def run_config(
     batch_streams: bool = True,
     strict_alias: bool = False,
     online_synthesis: bool = False,
+    resume: bool = False,
 ) -> Sequence[SimState]:
     """Run every stream of a config plus the MFT.
 
@@ -210,6 +251,9 @@ def run_config(
     With `online_synthesis` the `-combined/` ensemble averages and the Qx
     series are reduced on-device at every dump boundary during the run
     (synthesis.OnlineCombiner), so no offline synthesize pass is needed.
+    With `resume`, every run restarts from its checkpoint manifest + last
+    psi dump (the reference cannot do this: its dumps lack counter state,
+    SURVEY.md §5).
     """
     all_params = list(iter_stream_parameters(toml))
     if online_synthesis and (not batch_streams or len(all_params) == 1):
@@ -225,6 +269,7 @@ def run_config(
                         data_root,
                         verbose,
                         test_only,
+                        resume=resume,
                         strict_alias=strict_alias and len(all_params) == 1,
                         writer=writer,
                     )
@@ -235,22 +280,31 @@ def run_config(
     mft_params = all_params[-1]
     stream_params = all_params[:-1]
     stepper = Stepper(mft_params, dtype)
-
-    base_psi = device_put_complex(build_ics(mft_params), dtype)
-    seeds = jnp.asarray([p.sampling.seed for p in stream_params], jnp.uint32)
-    scheme = stream_params[0].sampling.scheme
-    sampled = sample_stream_batch(base_psi, mft_params, seeds, scheme)
-    psi_batch = jax.jit(lambda a, b: jnp.concatenate([a, b[None]], axis=0))(
-        sampled, base_psi
-    )
-
-    state = stepper.init_state(psi_batch, batched=True)
     runs = [SimulationRun(p, data_root) for p in all_params]
 
-    if verbose:
+    resumed_state = _try_resume_batch(all_params, stepper, data_root) if resume else None
+    if resumed_state is not None:
+        state = resumed_state
+        if verbose:
+            print(
+                f"Resuming batch of {len(all_params)} from dumps "
+                f"{np.asarray(state.current_dumps).tolist()}"
+            )
+    else:
+        resume = False
+        base_psi = device_put_complex(build_ics(mft_params), dtype)
+        seeds = jnp.asarray([p.sampling.seed for p in stream_params], jnp.uint32)
+        scheme = stream_params[0].sampling.scheme
+        sampled = sample_stream_batch(base_psi, mft_params, seeds, scheme)
+        psi_batch = jax.jit(lambda a, b: jnp.concatenate([a, b[None]], axis=0))(
+            sampled, base_psi
+        )
+        state = stepper.init_state(psi_batch, batched=True)
+
+    if verbose and not resume:
         print(
-            f"Running {len(stream_params)} {scheme} streams + MFT "
-            f"as one batch of {len(all_params)}"
+            f"Running {len(stream_params)} {stream_params[0].sampling.scheme} "
+            f"streams + MFT as one batch of {len(all_params)}"
         )
     if test_only:
         return [state]
@@ -277,11 +331,12 @@ def run_config(
             weights[-1] = False
             combiner.on_dump(state.psi, weights, dump_idx)
 
-        psi_np = device_get_complex(state.psi)
-        for i, r in enumerate(runs):
-            r.dump_field(psi_np[i], 0)
-            r.write_manifest(_state_scalars(state, i))
-        combine_dump(np.ones(n, bool), 0)
+        if not resume:
+            psi_np = device_get_complex(state.psi)
+            for i, r in enumerate(runs):
+                r.dump_field(psi_np[i], 0)
+                r.write_manifest(_state_scalars(state, i))
+            combine_dump(np.ones(n, bool), 0)
 
         while stepper.not_finished(state):
             state = stepper.evolve_to_next_dump(state, batched=True)
@@ -295,6 +350,7 @@ def run_config(
                     if not reported_alias[i]:
                         _report_aliasing(all_params[i], state, i, strict_alias)
                         reported_alias[i] = True
+                        r.write_manifest(_state_scalars(state, i))
                     continue
                 if just_dumped[i]:
                     r.dump_field(psi_np[i], int(dumps_np[i]))

@@ -233,10 +233,13 @@ class Stepper:
     def _apply_potential(self, psi, phi, coeff):
         """psi * exp(i * coeff * phi); coeff is a per-stream scalar array."""
         if self.use_pallas:
+            p = self.params
             zb, restore = self._as_batch(psi)
             fb, _ = self._as_batch(jnp.broadcast_to(phi, psi.shape))
             return restore(
-                pk.phase_rotate(zb, fb, self._flat_coeff(coeff, zb.shape[0]))
+                pk.phase_rotate(
+                    zb, fb, self._flat_coeff(coeff, zb.shape[0]), p.size, p.dims
+                )
             )
         return apply_potential_phase(psi, phi, self._bcast(coeff))
 

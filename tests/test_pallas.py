@@ -64,13 +64,17 @@ def test_poisson_multiply_matches_jnp(rng, dims):
     assert complex(got[0].reshape(-1)[0]) == 0.0
 
 
-def test_phase_rotate_matches_jnp(rng):
-    shape = (3, 16, 128)
+@pytest.mark.parametrize("dims", [2, 3])
+def test_phase_rotate_matches_jnp(rng, dims):
+    size = 128
+    shape = (2,) + (size,) * dims
     z = _rand_z(rng, shape)
     field = jnp.asarray(rng.standard_normal(shape))
-    coeff = jnp.asarray(rng.standard_normal(3))
-    expected = phase_ops.apply_potential_phase(z, field, coeff.reshape(3, 1, 1))
-    got = pk.phase_rotate(z, field, coeff)
+    coeff = jnp.asarray(rng.standard_normal(2))
+    expected = phase_ops.apply_potential_phase(
+        z, field, coeff.reshape((2,) + (1,) * dims)
+    )
+    got = pk.phase_rotate(z, field, coeff, size, dims)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-12)
 
 

@@ -127,3 +127,36 @@ def test_resume_matches_uninterrupted(tmp_path):
         a = load_complex_pair(os.path.join(root_full, "resume", f"psi_{i:05d}"))
         b = load_complex_pair(os.path.join(d, f"psi_{i:05d}"))
         np.testing.assert_allclose(a, b, atol=1e-10)
+
+
+def test_batched_resume_matches_uninterrupted(tmp_path):
+    """Resume of a batched ensemble from manifests must reproduce the
+    uninterrupted trajectory exactly."""
+    toml = _toml(tmp_path, seeds="1 to 2", dumps=4)
+    root_full = str(tmp_path / "full")
+    root_res = str(tmp_path / "res")
+
+    simulator.run_config(toml, dtype=jnp.complex128, data_root=root_full)
+    simulator.run_config(toml, dtype=jnp.complex128, data_root=root_res)
+
+    # rewind every run to dump 2: delete later dumps, rewrite manifests
+    from msm_tpu.io.checkpoint import load_manifest, write_manifest
+
+    dirs = ["e2e", "e2e-stream00001", "e2e-stream00002"]
+    for d in dirs:
+        full = os.path.join(root_res, d)
+        for i in (3, 4):
+            os.remove(os.path.join(full, f"psi_{i:05d}_real"))
+            os.remove(os.path.join(full, f"psi_{i:05d}_imag"))
+        m = load_manifest(full)
+        write_manifest(
+            full, current_dumps=2, time=0.5, tau=m["tau"], a=m["a"], n_steps=2
+        )
+
+    simulator.run_config(toml, dtype=jnp.complex128, data_root=root_res, resume=True)
+
+    for d in dirs:
+        for i in range(5):
+            a = load_complex_pair(os.path.join(root_full, d, f"psi_{i:05d}"))
+            b = load_complex_pair(os.path.join(root_res, d, f"psi_{i:05d}"))
+            np.testing.assert_allclose(a, b, atol=1e-10, err_msg=f"{d} dump {i}")
