@@ -35,6 +35,10 @@ def _add_common(p: argparse.ArgumentParser):
 def _dtype_for(precision: str):
     import jax
 
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if precision == "f64":
         jax.config.update("jax_enable_x64", True)
         import jax.numpy as jnp
@@ -62,6 +66,9 @@ def cmd_simulate(args) -> int:
         strict_alias=args.strict_alias,
         online_synthesis=args.online_synthesis,
         resume=args.resume,
+        dt_mode="lagged" if args.fast_dt else "exact",
+        debug_checks=args.debug_checks,
+        profile_dir=args.profile_dir,
     )
     n = cfg.stream_count(toml)
     if n > 1:
@@ -115,6 +122,22 @@ def build_parser() -> argparse.ArgumentParser:
         "--resume",
         action="store_true",
         help="resume every run from its checkpoint manifest + last dump",
+    )
+    sim.add_argument(
+        "--fast-dt",
+        action="store_true",
+        help="bound dt with the previous step's potential (one Poisson "
+        "solve fewer per step; dt sequence differs from the reference)",
+    )
+    sim.add_argument(
+        "--debug-checks",
+        action="store_true",
+        help="validate norm and finiteness at every dump boundary",
+    )
+    sim.add_argument(
+        "--profile-dir",
+        default=None,
+        help="capture a jax.profiler trace of the run into this directory",
     )
     sim.set_defaults(fn=cmd_simulate)
 

@@ -48,6 +48,7 @@ class MeshStepper:
         mesh: Mesh,
         dtype=jnp.complex64,
         shard_space: Optional[bool] = None,
+        dt_mode: str = "exact",
     ):
         self.params = params
         self.mesh = mesh
@@ -63,7 +64,10 @@ class MeshStepper:
         self.shard_space = shard_space
 
         self.stepper = Stepper(
-            params, dtype, spatial_axis=SPACE_AXIS if shard_space else None
+            params,
+            dtype,
+            spatial_axis=SPACE_AXIS if shard_space else None,
+            dt_mode=dt_mode,
         )
 
         dims = params.dims
@@ -90,6 +94,7 @@ class MeshStepper:
             just_dumped=self.scalar_spec,
             aliased=self.scalar_spec,
             alias_mass=self.scalar_spec,
+            phi_max=self.scalar_spec,
         )
         self.consts_specs = StepConsts(
             spec_grid=kspec, alias_mask=kspec, tau_dumps=P()
@@ -110,18 +115,18 @@ class MeshStepper:
         self._step_fn = smap(self.stepper._step, self.state_specs)
         self._init_fn = jax.jit(
             jax.shard_map(
-                lambda re, im: self.stepper._init_from_planes(re, im),
+                lambda re, im, consts: self.stepper._init_from_planes(re, im, consts),
                 mesh=self.mesh,
-                in_specs=(self.psi_spec, self.psi_spec),
+                in_specs=(self.psi_spec, self.psi_spec, self.consts_specs),
                 out_specs=self.state_specs,
                 check_vma=False,
             )
         )
         self._init_fn_z = jax.jit(
             jax.shard_map(
-                lambda psi: self.stepper._init_from_psi(psi),
+                lambda psi, consts: self.stepper._init_from_psi(psi, consts),
                 mesh=self.mesh,
-                in_specs=(self.psi_spec,),
+                in_specs=(self.psi_spec, self.consts_specs),
                 out_specs=self.state_specs,
                 check_vma=False,
             )
@@ -169,12 +174,12 @@ class MeshStepper:
         sharding = NamedSharding(self.mesh, self.psi_spec)
         if isinstance(psi0, jax.Array):
             # already on-device: reshard without a host round trip
-            return self._init_fn_z(jax.device_put(psi0, sharding))
+            return self._init_fn_z(jax.device_put(psi0, sharding), self.consts)
         arr = np.asarray(psi0)
         rdtype = np.dtype(self.stepper.rdtype)
         re = jax.device_put(np.ascontiguousarray(arr.real, rdtype), sharding)
         im = jax.device_put(np.ascontiguousarray(arr.imag, rdtype), sharding)
-        return self._init_fn(re, im)
+        return self._init_fn(re, im, self.consts)
 
     def gather_psi(self, state: SimState) -> np.ndarray:
         """Fetch the full (streams, *grid) psi to host (complex-safe)."""

@@ -127,6 +127,22 @@ def _try_resume_batch(all_params, stepper: Stepper, data_root: str):
     )
 
 
+def _debug_validate(psi_np: np.ndarray, params: SimulationParameters, where: str):
+    """Runtime sanitizers: norm + NaN/Inf checks at dump boundaries.
+
+    The reference's debug_assert!(check_norm...) / check_complex_for_nans
+    invariants (`simulation_object.rs:485-529`, SURVEY.md §5) as an opt-in
+    runtime flag instead of a debug-build compile feature.
+    """
+    if not np.all(np.isfinite(psi_np.real)) or not np.all(np.isfinite(psi_np.imag)):
+        raise FloatingPointError(f"NaN/Inf in psi at {where}")
+    norm = float(np.sum(np.abs(psi_np) ** 2) * params.dx**params.dims)
+    if abs(norm - 1.0) > 1e-3:
+        raise FloatingPointError(
+            f"norm violation at {where}: sum|psi|^2 dV = {norm:.6g}"
+        )
+
+
 def _report_aliasing(
     params: SimulationParameters, state: SimState, i: Optional[int], strict: bool
 ):
@@ -151,9 +167,10 @@ def run_single(
     resume: bool = False,
     strict_alias: bool = True,
     writer: Optional[AsyncGridWriter] = None,
+    dt_mode: str = "exact",
 ) -> SimState:
     """Run one simulation to completion, dumping psi at every boundary."""
-    stepper = Stepper(params, dtype)
+    stepper = Stepper(params, dtype, dt_mode=dt_mode)
     run = SimulationRun(params, data_root, writer)
 
     start_dump = 0
@@ -243,6 +260,9 @@ def run_config(
     strict_alias: bool = False,
     online_synthesis: bool = False,
     resume: bool = False,
+    dt_mode: str = "exact",
+    debug_checks: bool = False,
+    profile_dir: Optional[str] = None,
 ) -> Sequence[SimState]:
     """Run every stream of a config plus the MFT.
 
@@ -272,6 +292,7 @@ def run_config(
                         resume=resume,
                         strict_alias=strict_alias and len(all_params) == 1,
                         writer=writer,
+                        dt_mode=dt_mode,
                     )
                 )
         return states
@@ -279,7 +300,7 @@ def run_config(
     # ---------------- batched ensemble path ----------------
     mft_params = all_params[-1]
     stream_params = all_params[:-1]
-    stepper = Stepper(mft_params, dtype)
+    stepper = Stepper(mft_params, dtype, dt_mode=dt_mode)
     runs = [SimulationRun(p, data_root) for p in all_params]
 
     resumed_state = _try_resume_batch(all_params, stepper, data_root) if resume else None
@@ -312,7 +333,12 @@ def run_config(
     n = len(all_params)
     reported_alias = [False] * n
     t_start = _time.monotonic()
-    with AsyncGridWriter() as writer:
+    from .utils.profiling import ProgressReporter, profiler_trace
+
+    progress = ProgressReporter(
+        total_dumps=toml.num_data_dumps, sim_name=toml.sim_name, enabled=verbose
+    )
+    with AsyncGridWriter() as writer, profiler_trace(profile_dir):
         for r in runs:
             r.writer = writer
 
@@ -353,6 +379,10 @@ def run_config(
                         r.write_manifest(_state_scalars(state, i))
                     continue
                 if just_dumped[i]:
+                    if debug_checks:
+                        _debug_validate(
+                            psi_np[i], all_params[i], f"{r.params.sim_name} dump"
+                        )
                     r.dump_field(psi_np[i], int(dumps_np[i]))
                     scalars = _state_scalars(state, i)
                     scalars["wall_time_ms"] = (_time.monotonic() - t_start) * 1e3
@@ -361,14 +391,15 @@ def run_config(
                 combine_dump(
                     just_dumped & ~aliased, int(dumps_np[just_dumped.argmax()])
                 )
-            if verbose:
-                done = int(dumps_np.min())
-                print(
-                    f"({toml.sim_name}) ensemble at dump >= {done}/"
-                    f"{toml.num_data_dumps}"
-                )
+            done = int(dumps_np.min())
+            if toml.cosmology is not None:
+                a_min = float(np.asarray(state.a).min())
+                progress.update(done, redshift=1.0 / a_min - 1.0)
+            else:
+                progress.update(done, sim_time=float(np.asarray(state.time).min()))
         if combiner is not None:
             combiner.finalize()
+        progress.finish()
     return [state]
 
 

@@ -66,6 +66,7 @@ class SimState:
     just_dumped: jax.Array  # bool: last step landed exactly on a dump boundary
     aliased: jax.Array  # bool: Fourier aliasing detected (stream is frozen)
     alias_mass: jax.Array
+    phi_max: jax.Array  # max|phi| at the last mid-drift (lagged-dt mode)
 
 
 @jax.tree_util.register_dataclass
@@ -98,6 +99,7 @@ class Stepper:
         params: SimulationParameters,
         dtype=jnp.complex64,
         spatial_axis: str | None = None,
+        dt_mode: str = "exact",
     ):
         self.params = params
         self.dtype = jnp.dtype(dtype)
@@ -105,6 +107,15 @@ class Stepper:
         # Time bookkeeping in float64 when enabled (x64 mode), else float32.
         self.tdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.spatial_axis = spatial_axis
+        # dt_mode "exact": the potential is solved twice per step like the
+        # reference (once at t for dt, once at the drift midpoint for the
+        # kick; update() :497 and :530). "lagged": dt bounds max|phi| with
+        # the previous step's midpoint value carried in the state — one
+        # Poisson solve (~2 FFTs) fewer per step; trajectories differ from
+        # the reference only through the dt sequence, and the CFL bound
+        # remains enforced against a potential at most one step stale.
+        assert dt_mode in ("exact", "lagged")
+        self.dt_mode = dt_mode
         # Fused Pallas kernels synthesize the k-grid from indices in-register
         # (no spec_grid HBM reads); single-device path only — the sharded
         # path's local blocks see shard-local indices.
@@ -152,6 +163,12 @@ class Stepper:
             spec_grid=jnp.asarray(spec, self.rdtype),
             alias_mask=jnp.asarray(mask, self.rdtype),
             tau_dumps=jnp.asarray(tau_dumps, self.tdtype),
+        )
+        # Half-spectrum k^2 grid for the real-input Poisson transform
+        # (single-device path): rfftn keeps only the last axis's
+        # non-negative frequencies.
+        self._spec_grid_r = jnp.asarray(
+            spec[..., : p.size // 2 + 1] if p.dims >= 1 else spec, self.rdtype
         )
 
         # Everything device-side is jitted: on the axon TPU backend eager
@@ -278,10 +295,11 @@ class Stepper:
         im = np.ascontiguousarray(arr.imag, dtype=rdtype)
         return self._jit_init(re, im)
 
-    def _init_from_planes(self, re, im) -> SimState:
-        return self._init_from_psi(jax.lax.complex(re, im))
+    def _init_from_planes(self, re, im, consts: StepConsts | None = None) -> SimState:
+        return self._init_from_psi(jax.lax.complex(re, im), consts)
 
-    def _init_from_psi(self, psi) -> SimState:
+    def _init_from_psi(self, psi, consts: StepConsts | None = None) -> SimState:
+        consts = consts if consts is not None else self.consts
         psi = psi.astype(self.dtype)
         psik = self._fwd(psi)
         t0 = jnp.asarray(self.params.time, self.tdtype)
@@ -309,6 +327,9 @@ class Stepper:
             just_dumped=scalars(jnp.zeros((), jnp.bool_)),
             aliased=scalars(jnp.zeros((), jnp.bool_)),
             alias_mass=scalars(jnp.zeros((), self.rdtype)),
+            phi_max=self._spatial_max(jnp.abs(self._potential(psi, consts))).astype(
+                self.tdtype
+            ),
         )
 
     # ------------------------------------------------------------------
@@ -321,11 +342,28 @@ class Stepper:
         rho = prefactor |psi|^2; phi_k = -coeff rho_k / k^2 (k=0 zeroed by
         masking, cleaner than the reference's NaN-replace :1097-1102);
         phi = Re F^-1[phi_k].
+
+        Single-device path exploits that rho and phi are REAL: rfftn/irfftn
+        transform the half-spectrum, roughly halving the Poisson solve's
+        FFT flops and bandwidth vs the reference's complex in-place FFTs
+        (`fft.rs:60-98`). The sharded path stays complex (pencil transposes
+        are defined on the full spectrum).
         """
         consts = consts if consts is not None else self.consts
         rho = jnp.asarray(self.density_prefactor, self.rdtype) * jnp.real(
             psi * jnp.conj(psi)
         )
+        if self.spatial_axis is None:
+            axes = self._spatial_axes
+            rho_k = jnp.fft.rfftn(rho, axes=axes)
+            spec_r = self._spec_grid_r
+            inv_k2 = jnp.where(spec_r > 0.0, 1.0, 0.0) / jnp.where(
+                spec_r > 0.0, spec_r, 1.0
+            )
+            phi_k = (-self.poisson_coeff * inv_k2).astype(rho_k.dtype) * rho_k
+            return jnp.fft.irfftn(
+                phi_k, s=(self.params.size,) * self.params.dims, axes=axes
+            ).astype(self.rdtype)
         rho_k = self._fwd(rho.astype(self.dtype))
         phi_k = self._poisson_multiply(rho_k, consts)
         return jnp.real(self._inv(phi_k))
@@ -339,7 +377,10 @@ class Stepper:
         Returns per-stream (dt, is_dump).
         """
         p = self.params
-        phi_max = self._spatial_max(jnp.abs(phi)).astype(self.tdtype)
+        if phi is None:  # lagged mode: previous midpoint max carried in state
+            phi_max = state.phi_max
+        else:
+            phi_max = self._spatial_max(jnp.abs(phi)).astype(self.tdtype)
         next_idx = jnp.minimum(state.current_dumps + 1, p.num_data_dumps)
         if p.expanding:
             kinetic = jnp.asarray(
@@ -380,8 +421,11 @@ class Stepper:
         """One static-space KDK step (update, :475-661)."""
         p, hbar_ = self.params, self.params.hbar_
 
-        phi = self._potential(state.psi, consts)
-        dt, is_dump = self._timestep(phi, state, consts)
+        if self.dt_mode == "exact":
+            phi = self._potential(state.psi, consts)
+            dt, is_dump = self._timestep(phi, state, consts)
+        else:
+            dt, is_dump = self._timestep(None, state, consts)
         kcoeff = (-dt / 4.0 * hbar_).astype(self.rdtype)
         vcoeff = (-dt / hbar_).astype(self.rdtype)
 
@@ -390,6 +434,7 @@ class Stepper:
         psi = self._inv(psik)
         # Full potential kick at the half-step: exp(-i * dt/hbar_ * phi) (:530-545)
         phi = self._potential(psi, consts)
+        phi_max = self._spatial_max(jnp.abs(phi)).astype(self.tdtype)
         psi = self._apply_potential(psi, phi, vcoeff)
         psik = self._fwd(psi)
         # Second half kick (:562-574)
@@ -409,6 +454,7 @@ class Stepper:
             just_dumped=is_dump,
             aliased=aliased,
             alias_mass=alias_mass,
+            phi_max=phi_max,
         )
 
     def _step_expanding(self, state: SimState, consts: StepConsts) -> SimState:
@@ -421,13 +467,17 @@ class Stepper:
         p = self.params
         c = p.cosmology
 
-        phi = self._potential(state.psi, consts)
-        dtau, is_dump = self._timestep(phi, state, consts)
+        if self.dt_mode == "exact":
+            phi = self._potential(state.psi, consts)
+            dtau, is_dump = self._timestep(phi, state, consts)
+        else:
+            dtau, is_dump = self._timestep(None, state, consts)
         kcoeff = (-dtau / 4.0).astype(self.rdtype)
 
         psik = self._apply_kinetic(state.psik, kcoeff, consts)
         psi = self._inv(psik)
         phi = self._potential(psi, consts)
+        phi_max = self._spatial_max(jnp.abs(phi)).astype(self.tdtype)
 
         a, t, tau = state.a, state.time, state.tau
         for _ in range(2):
@@ -454,6 +504,7 @@ class Stepper:
             just_dumped=is_dump,
             aliased=aliased,
             alias_mass=alias_mass,
+            phi_max=phi_max,
         )
 
     # ------------------------------------------------------------------

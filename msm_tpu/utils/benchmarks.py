@@ -23,6 +23,10 @@ def run_kdk_bench(size: int, dims: int, streams: int, steps: int) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
+    from .cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from .. import config as cfg
     from ..models.ics import build_ics
     from ..stepper import Stepper

@@ -161,3 +161,26 @@ def test_batched_streams_evolve_independently():
     # batched result matches unbatched run of the same stream
     solo = st.evolve_to_next_dump(st.init_state(psi0))
     np.testing.assert_allclose(psi[0], np.asarray(solo.psi), atol=1e-12)
+
+
+def test_lagged_dt_mode():
+    """Lagged-dt mode: one fewer Poisson solve per step, physically
+    consistent trajectory (norm conserved, dt within CFL bounds, close to
+    the exact-mode trajectory over a dump interval)."""
+    p = _params(dims=2, size=32, num_data_dumps=20, final_sim_time=8.0)
+    exact = Stepper(p, jnp.complex128, dt_mode="exact")
+    lagged = Stepper(p, jnp.complex128, dt_mode="lagged")
+    psi0 = ics.build_ics(p)
+
+    se = exact.snap_after_dump(exact.evolve_to_next_dump(exact.init_state(psi0)))
+    sl = lagged.snap_after_dump(lagged.evolve_to_next_dump(lagged.init_state(psi0)))
+
+    assert float(grid.norm_squared(sl.psi, p.dx, p.dims)) == pytest.approx(
+        1.0, abs=1e-10
+    )
+    # both land exactly on the dump boundary
+    assert float(sl.time) == pytest.approx(float(se.time), rel=1e-12)
+    # fields agree to integrator-order tolerance (dt sequences differ)
+    err = float(jnp.abs(sl.psi - se.psi).max())
+    scale = float(jnp.abs(se.psi).max())
+    assert err / scale < 5e-3
