@@ -78,11 +78,28 @@ def cmd_simulate(args) -> int:
 
 def cmd_synthesize(args) -> int:
     from . import config as cfg
-    from .synthesis import synthesize_toml
+    from .synthesis import synthesize_post_only, synthesize_toml
 
+    if args.distributed:
+        import jax
+
+        jax.distributed.initialize()
     dtype = _dtype_for(args.precision)
     toml = cfg.read_toml(args.toml)
-    synthesize_toml(toml, data_root=args.data_root, dtype=dtype)
+    if args.post_only:
+        synthesize_post_only(toml, data_root=args.data_root)
+        return 0
+    dump_range = None
+    if args.dump_range:
+        lo, hi = args.dump_range.split(":")
+        dump_range = (int(lo), int(hi))
+    synthesize_toml(
+        toml,
+        data_root=args.data_root,
+        dtype=dtype,
+        dump_range=dump_range,
+        multihost=args.multihost,
+    )
     return 0
 
 
@@ -144,6 +161,27 @@ def build_parser() -> argparse.ArgumentParser:
     syn = sub.add_parser("synthesize", help="combine stream dumps (msm-synthesizer)")
     _add_common(syn)
     syn.add_argument("--verbosity", default="off")
+    syn.add_argument(
+        "--dump-range",
+        default=None,
+        metavar="LO:HI",
+        help="combine only dumps lo..=hi (cluster-parallel job shape)",
+    )
+    syn.add_argument(
+        "--post-only",
+        action="store_true",
+        help="evaluate only post-combine scalars (Qx) from existing combines",
+    )
+    syn.add_argument(
+        "--multihost",
+        action="store_true",
+        help="split the dump list across jax processes",
+    )
+    syn.add_argument(
+        "--distributed",
+        action="store_true",
+        help="call jax.distributed.initialize() before anything else",
+    )
     syn.set_defaults(fn=cmd_synthesize)
 
     bench = sub.add_parser("bench", help="run performance benchmarks")

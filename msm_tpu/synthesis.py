@@ -192,29 +192,61 @@ def post_combine(
     return out
 
 
+def volume_element(toml: TomlParameters) -> float:
+    """dv = (L/N)^d, or the supercomoving version when expanding
+    (`synthesizer/src/main.rs:51-58`)."""
+    if toml.cosmology is not None:
+        _, hbar_ = determine_pmass_hbar(toml)
+        box = get_supercomoving_boxsize(hbar_, toml.cosmology, toml.axis_length)
+        return (box / toml.size) ** toml.dims
+    return (toml.axis_length / toml.size) ** toml.dims
+
+
 def synthesize_toml(
     toml: TomlParameters,
     data_root: str = "sim-data",
     dtype=jnp.complex64,
     stream_chunk: int = DEFAULT_STREAM_CHUNK,
+    dump_range: Optional[tuple[int, int]] = None,
+    multihost: bool = False,
 ) -> dict[str, np.ndarray]:
-    """Full synthesizer pipeline for a config (`synthesizer/src/main.rs:30-190`)."""
-    dumps = list(range(toml.num_data_dumps + 1))
-    # dv = (L/N)^d, or the supercomoving version when expanding
-    # (`main.rs:51-58`).
-    if toml.cosmology is not None:
-        _, hbar_ = determine_pmass_hbar(toml)
-        box = get_supercomoving_boxsize(hbar_, toml.cosmology, toml.axis_length)
-        dv = (box / toml.size) ** toml.dims
-    else:
-        dv = (toml.axis_length / toml.size) ** toml.dims
+    """Full synthesizer pipeline for a config (`synthesizer/src/main.rs:30-190`).
+
+    `dump_range=(lo, hi)` restricts analyze_sims to dumps lo..=hi (the
+    cluster-parallel shape of the reference's per-dump SLURM jobs,
+    `gen_sbatch.py:6-51`); `multihost` splits the dump list by process
+    index instead (the Balancer's local_set, `balancer.rs:75-83`). Both
+    skip the Qx post-combine unless this invocation owns the full range.
+    """
+    all_dumps = list(range(toml.num_data_dumps + 1))
+    dumps = all_dumps
+    if dump_range is not None:
+        lo, hi = dump_range
+        dumps = [d for d in all_dumps if lo <= d <= hi]
+    elif multihost:
+        from .parallel.mesh import local_dump_range
+
+        dumps = list(local_dump_range(all_dumps))
 
     functions = SynthesisFunctions()
-    functions.post_scalar_functions["Qx"] = qx_post_scalar(dv)
+    functions.post_scalar_functions["Qx"] = qx_post_scalar(volume_element(toml))
 
     sim_base = os.path.join(data_root, toml.sim_name)
     analyze_sims(functions, sim_base, dumps, toml.dims, dtype, stream_chunk)
+    if dumps != all_dumps:
+        return {}
     return post_combine(functions, sim_base, dumps)
+
+
+def synthesize_post_only(
+    toml: TomlParameters, data_root: str = "sim-data"
+) -> dict[str, np.ndarray]:
+    """Evaluate only the post-combine scalars from existing combined dumps
+    (the final job of a cluster-parallel analysis, tools/jobs.py)."""
+    functions = SynthesisFunctions()
+    functions.post_scalar_functions["Qx"] = qx_post_scalar(volume_element(toml))
+    sim_base = os.path.join(data_root, toml.sim_name)
+    return post_combine(functions, sim_base, range(toml.num_data_dumps + 1))
 
 
 # ---------------------------------------------------------------------------

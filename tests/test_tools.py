@@ -105,3 +105,67 @@ def test_check_var_statistics(tmp_path):
     # per-cell lambda averaged (bounded by max cell occupancy / n_streams)
     assert abs(stats["mean"]) < 50.0
     assert stats["var"] > 0.0
+
+
+def test_job_generator(tmp_path):
+    from msm_tpu.tools import jobs
+
+    scripts = jobs.generate_jobs(
+        "config.toml", num_dumps=5, out_dir=str(tmp_path / "sb"), dumps_per_job=2
+    )
+    # ceil(6/2) = 3 range jobs + 1 post job
+    assert len(scripts) == 4
+    body = open(scripts[0]).read()
+    assert "--dump-range 0:1" in body
+    assert "#SBATCH --cpus-per-task=4" in body
+    assert "--post-only" in open(scripts[-1]).read()
+
+
+def test_dump_range_synthesis(tmp_path, rng):
+    """Ranged combines + a post-only pass reproduce the single-shot result."""
+    import jax.numpy as jnp
+
+    from msm_tpu import synthesis
+    from msm_tpu.io.npy import load_complex_pair, write_complex_pair
+
+    size, n_streams, dumps = 8, 3, 3
+    root = str(tmp_path)
+    name = "ranged"
+    for s in range(1, n_streams + 1):
+        d = os.path.join(root, f"{name}-stream{s:05d}")
+        os.makedirs(d)
+        for dump in range(dumps + 1):
+            psi = rng.standard_normal((size, size)) + 1j * rng.standard_normal(
+                (size, size)
+            )
+            write_complex_pair(
+                os.path.join(d, f"psi_{dump:05d}"), psi.reshape(size, size, 1, 1)
+            )
+
+    toml = cfg.parse_toml_dict(
+        {
+            "axis_length": 16.0,
+            "final_sim_time": 1.0,
+            "cfl": 0.5,
+            "num_data_dumps": dumps,
+            "total_mass": 1e8,
+            "hbar_": 0.05,
+            "sim_name": name,
+            "k2_cutoff": 0.95,
+            "alias_threshold": 0.5,
+            "dims": 2,
+            "size": size,
+            "ics": {"type": "SphericalTophat", "radius": 5.0, "slope": 50, "delta": 10},
+        }
+    )
+    # two ranged passes then post-only
+    assert synthesis.synthesize_toml(
+        toml, data_root=root, dtype=jnp.complex128, dump_range=(0, 1)
+    ) == {}
+    assert synthesis.synthesize_toml(
+        toml, data_root=root, dtype=jnp.complex128, dump_range=(2, 3)
+    ) == {}
+    result = synthesis.synthesize_post_only(toml, data_root=root)
+    assert result["Qx"].shape == (dumps + 1, 1, 1, 1)
+    series = load_complex_pair(os.path.join(root, f"{name}-combined", "Qx"))
+    np.testing.assert_allclose(series, result["Qx"])
