@@ -69,6 +69,7 @@ def cmd_simulate(args) -> int:
         dt_mode="lagged" if args.fast_dt else "exact",
         debug_checks=args.debug_checks,
         profile_dir=args.profile_dir,
+        mesh=args.mesh,
     )
     n = cfg.stream_count(toml)
     if n > 1:
@@ -145,6 +146,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="bound dt with the previous step's potential (one Poisson "
         "solve fewer per step; dt sequence differs from the reference)",
+    )
+    sim.add_argument(
+        "--mesh",
+        choices=("none", "auto"),
+        default="none",
+        help="auto: compile the ensemble over all visible devices "
+        "(stream data-parallel + spatial slabs)",
     )
     sim.add_argument(
         "--debug-checks",

@@ -1,28 +1,98 @@
-"""Ortho-normalized FFTs over the spatial axes.
+"""Ortho-normalized Fourier transforms over the spatial axes.
 
 TPU-native counterpart of `simulator/src/utils/fft.rs:6-98`: the reference
 scales ArrayFire FFTs by 1/N^(d/2) in both directions, which is exactly
 numpy/JAX ``norm="ortho"``. The spatial axes are always the *last* ``dims``
 axes, so any leading axes (the stream ensemble batch) are batched for free.
 
-Single-device path. The mesh-sharded pencil FFT lives in
-``msm_tpu.parallel.pfft``.
+Two backends:
+
+- ``xla``: `jnp.fft.fftn` (XLA's FFT lowering).
+- ``matmul``: the DFT evaluated as one (N, N) matrix contraction per axis.
+  A TPU has no FFT unit but a 128x128 systolic MXU; for the grid sizes this
+  engine targets (N <= 512) the O(N) matmul DFT beats the O(log N) FFT
+  lowering because it runs at MXU rather than VPU throughput. Precomputed
+  per-size DFT matrices are closure constants; accuracy is ~sqrt(N)*eps per
+  transform (comparable to the f32 FFT's accumulated pass error — validated
+  in tests).
+
+`set_default_mode` / the MSM_FFT env var select the backend; the
+mesh-sharded pencil FFT lives in ``msm_tpu.parallel.pfft``.
 """
 
 from __future__ import annotations
 
+import functools
+import math
+import os
+
 import jax.numpy as jnp
+import numpy as np
+
+_MODE = os.environ.get("MSM_FFT", "xla")
+
+
+def set_default_mode(mode: str) -> None:
+    """Select the transform backend: 'xla' or 'matmul'."""
+    assert mode in ("xla", "matmul")
+    global _MODE
+    _MODE = mode
+
+
+def get_mode() -> str:
+    return _MODE
 
 
 def _spatial_axes(dims: int) -> tuple[int, ...]:
     return tuple(range(-dims, 0))
 
 
+@functools.lru_cache(maxsize=None)
+def _dft_matrix(size: int, inverse: bool, rdtype_name: str) -> np.ndarray:
+    """Ortho DFT matrix W[j, k] = exp(-+2*pi*i*j*k / N) / sqrt(N).
+
+    Cached as NUMPY data (a cached jnp array would leak the trace it was
+    first constantified in); each jit trace embeds its own constant.
+    """
+    j = np.arange(size)
+    sign = 2.0j if inverse else -2.0j
+    w = np.exp(sign * np.pi * np.outer(j, j) / size) / math.sqrt(size)
+    cdtype = np.complex64 if rdtype_name == "float32" else np.complex128
+    return w.astype(cdtype)
+
+
+def _matmul_transform(psi: jnp.ndarray, dims: int, inverse: bool) -> jnp.ndarray:
+    """Per-axis DFT as MXU matmuls, zero explicit transposes.
+
+    Each tensordot contracts the current LEADING spatial axis and appends
+    the transformed axis at the end; after `dims` rounds the cyclic appends
+    restore exactly the canonical axis order ((z,y,x) -> (y,x,kz) ->
+    (x,kz,ky) -> (kz,ky,kx)). HIGHEST precision keeps the MXU in f32 (the
+    TPU default would compute in bf16 — a 1e-2 relative error, unusable
+    for unitary evolution).
+    """
+    import jax
+
+    rname = "float32" if psi.dtype == jnp.complex64 else "float64"
+    size = psi.shape[-1]
+    w = _dft_matrix(size, inverse, rname)
+    for _ in range(dims):
+        # contract the FIRST spatial axis; transformed axis lands last
+        psi = jnp.tensordot(
+            psi, w, axes=[[psi.ndim - dims], [0]], precision=jax.lax.Precision.HIGHEST
+        )
+    return psi
+
+
 def forward(psi: jnp.ndarray, dims: int) -> jnp.ndarray:
     """psi(x) -> psi(k), unitary normalization (fft.rs:6-30)."""
+    if _MODE == "matmul":
+        return _matmul_transform(psi, dims, inverse=False)
     return jnp.fft.fftn(psi, axes=_spatial_axes(dims), norm="ortho")
 
 
 def inverse(psik: jnp.ndarray, dims: int) -> jnp.ndarray:
     """psi(k) -> psi(x), unitary normalization (fft.rs:32-57)."""
+    if _MODE == "matmul":
+        return _matmul_transform(psik, dims, inverse=True)
     return jnp.fft.ifftn(psik, axes=_spatial_axes(dims), norm="ortho")

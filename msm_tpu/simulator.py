@@ -158,6 +158,41 @@ def _report_aliasing(
     log.error("%s", err)
 
 
+def _make_stepper(params, dtype, dt_mode: str, mesh: str, n_runs: int):
+    """Pick the execution engine for the batched ensemble.
+
+    mesh="auto" compiles the run over all visible devices via MeshStepper
+    (stream axis when the run count divides it, otherwise spatial slabs);
+    mesh="none" (default) stays single-device like the reference.
+    """
+    if mesh == "none" or len(jax.devices()) <= 1:
+        return Stepper(params, dtype, dt_mode=dt_mode)
+    from .parallel.mesh import make_mesh
+    from .parallel.sharded import MeshStepper
+
+    n_dev = len(jax.devices())
+    # prefer stream-axis data parallelism when the run count divides evenly
+    best = None
+    for n_stream in range(min(n_dev, n_runs), 0, -1):
+        if n_runs % n_stream == 0 and n_dev % n_stream == 0:
+            n_space = n_dev // n_stream
+            if n_space == 1 or (params.dims >= 2 and params.size % n_space == 0):
+                best = (n_stream, n_space)
+                break
+    if best is None:
+        log.warning("mesh=auto: no divisible layout; running single-device")
+        return Stepper(params, dtype, dt_mode=dt_mode)
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    from .parallel.mesh import SPACE_AXIS, STREAM_AXIS
+
+    devs = _np.asarray(jax.devices()).reshape(best)
+    m = Mesh(devs, (STREAM_AXIS, SPACE_AXIS))
+    log.info("mesh=auto: (stream=%d, x=%d) over %d devices", *best, n_dev)
+    return MeshStepper(params, m, dtype, dt_mode=dt_mode)
+
+
 def run_single(
     params: SimulationParameters,
     dtype=jnp.complex64,
@@ -263,6 +298,7 @@ def run_config(
     dt_mode: str = "exact",
     debug_checks: bool = False,
     profile_dir: Optional[str] = None,
+    mesh: str = "none",
 ) -> Sequence[SimState]:
     """Run every stream of a config plus the MFT.
 
@@ -300,7 +336,7 @@ def run_config(
     # ---------------- batched ensemble path ----------------
     mft_params = all_params[-1]
     stream_params = all_params[:-1]
-    stepper = Stepper(mft_params, dtype, dt_mode=dt_mode)
+    stepper = _make_stepper(mft_params, dtype, dt_mode, mesh, len(all_params))
     runs = [SimulationRun(p, data_root) for p in all_params]
 
     resumed_state = _try_resume_batch(all_params, stepper, data_root) if resume else None
@@ -357,11 +393,22 @@ def run_config(
             weights[-1] = False
             combiner.on_dump(state.psi, weights, dump_idx)
 
+        def dump_potentials(mask: np.ndarray, dumps_idx: np.ndarray):
+            """Dump phi for runs with output_potential (simulation_object.rs:1166-1180)."""
+            if not toml.output_potential:
+                return
+            pot_np = np.asarray(stepper.potential(state.psi))
+            cdtype = np.complex64 if pot_np.dtype == np.float32 else np.complex128
+            for i, r in enumerate(runs):
+                if mask[i]:
+                    r.dump_field(pot_np[i].astype(cdtype), int(dumps_idx[i]), "potential")
+
         if not resume:
             psi_np = device_get_complex(state.psi)
             for i, r in enumerate(runs):
                 r.dump_field(psi_np[i], 0)
                 r.write_manifest(_state_scalars(state, i))
+            dump_potentials(np.ones(n, bool), np.zeros(n, int))
             combine_dump(np.ones(n, bool), 0)
 
         while stepper.not_finished(state):
@@ -388,6 +435,7 @@ def run_config(
                     scalars["wall_time_ms"] = (_time.monotonic() - t_start) * 1e3
                     r.write_manifest(scalars)
             if just_dumped.any():
+                dump_potentials(just_dumped & ~aliased, dumps_np)
                 combine_dump(
                     just_dumped & ~aliased, int(dumps_np[just_dumped.argmax()])
                 )

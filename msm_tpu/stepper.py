@@ -211,7 +211,9 @@ class Stepper:
             from .parallel import pfft
 
             return pfft.fftn_sharded(x, self.params.dims, self.spatial_axis)
-        return jnp.fft.fftn(x, axes=self._spatial_axes, norm="ortho")
+        from .ops import fft as fft_ops
+
+        return fft_ops.forward(x, self.params.dims)
 
     def _inv(self, xk):
         """Inverse ortho FFT (k layout -> canonical)."""
@@ -219,7 +221,9 @@ class Stepper:
             from .parallel import pfft
 
             return pfft.ifftn_sharded(xk, self.params.dims, self.spatial_axis)
-        return jnp.fft.ifftn(xk, axes=self._spatial_axes, norm="ortho")
+        from .ops import fft as fft_ops
+
+        return fft_ops.inverse(xk, self.params.dims)
 
     # ------------------------------------------------------------------
     # Fused elementwise ops (Pallas fast path with jnp fallback)
@@ -353,7 +357,9 @@ class Stepper:
         rho = jnp.asarray(self.density_prefactor, self.rdtype) * jnp.real(
             psi * jnp.conj(psi)
         )
-        if self.spatial_axis is None:
+        from .ops import fft as fft_ops
+
+        if self.spatial_axis is None and fft_ops.get_mode() != "matmul":
             axes = self._spatial_axes
             rho_k = jnp.fft.rfftn(rho, axes=axes)
             spec_r = self._spec_grid_r

@@ -3,8 +3,8 @@
 Compiles on the tunneled TPU backend go through a remote AOT helper and can
 take minutes for large grids (256^3 step ~1-6 min). The persistent cache
 makes every compile a one-time cost per (program, shape, flags) across
-processes. Enabled by the CLI and bench entrypoints; opt out with
-MSM_NO_COMPILE_CACHE=1.
+processes. Wired into the CLI and bench entrypoints but OPT-IN via
+MSM_COMPILE_CACHE=1 (see note in enable_compilation_cache).
 """
 
 from __future__ import annotations
@@ -13,7 +13,12 @@ import os
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    # Opt-in (MSM_COMPILE_CACHE=1 or a path): a cache-enabled run was
+    # observed to stall indefinitely against the axon remote-compile helper,
+    # so the default stays off until that interaction is understood.
     if os.environ.get("MSM_NO_COMPILE_CACHE") == "1":
+        return
+    if not os.environ.get("MSM_COMPILE_CACHE"):
         return
     import jax
 

@@ -52,3 +52,48 @@ def test_batched_leading_axis(rng):
         np.testing.assert_allclose(
             np.asarray(out[i]), np.asarray(fft.forward(psi[i], 2)), atol=1e-12
         )
+
+
+class TestMatmulDFT:
+    """The MXU matmul-DFT backend must match the XLA FFT."""
+
+    def teardown_method(self):
+        fft.set_default_mode("xla")
+
+    @pytest.mark.parametrize("dims", [1, 2, 3])
+    def test_matches_fftn(self, rng, dims):
+        size = 16
+        psi = _random_psi(rng, (2,) + (size,) * dims, jnp.complex128)
+        ref_f = np.asarray(fft.forward(psi, dims))
+        ref_i = np.asarray(fft.inverse(psi, dims))
+        fft.set_default_mode("matmul")
+        np.testing.assert_allclose(np.asarray(fft.forward(psi, dims)), ref_f, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(fft.inverse(psi, dims)), ref_i, atol=1e-12)
+
+    def test_roundtrip_unitary(self, rng):
+        fft.set_default_mode("matmul")
+        psi = _random_psi(rng, (32, 32), jnp.complex128)
+        back = fft.inverse(fft.forward(psi, 2), 2)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(psi), atol=1e-12)
+
+    def test_full_step_matches_xla(self, rng):
+        from msm_tpu import config as cfg
+        from msm_tpu.models.ics import build_ics
+        from msm_tpu.stepper import Stepper
+
+        toml = cfg.TomlParameters(
+            axis_length=30.0, final_sim_time=10.0, cfl=0.5, num_data_dumps=10,
+            total_mass=1e10, sim_name="dft", k2_cutoff=0.95, alias_threshold=0.5,
+            dims=2, size=32, hbar_=0.05,
+            ics=cfg.SphericalTophat(radius=5.0, delta=10.0, slope=50.0),
+        )
+        p = cfg.resolve_parameters(toml)
+        psi0 = build_ics(p)
+        s_xla = Stepper(p, jnp.complex128).step(Stepper(p, jnp.complex128).init_state(psi0))
+        fft.set_default_mode("matmul")
+        st = Stepper(p, jnp.complex128)
+        s_mm = st.step(st.init_state(psi0))
+        np.testing.assert_allclose(
+            np.asarray(s_mm.psi), np.asarray(s_xla.psi), atol=1e-11
+        )
+        np.testing.assert_allclose(float(s_mm.time), float(s_xla.time), rtol=1e-12)

@@ -160,3 +160,55 @@ def test_batched_resume_matches_uninterrupted(tmp_path):
             a = load_complex_pair(os.path.join(root_full, d, f"psi_{i:05d}"))
             b = load_complex_pair(os.path.join(root_res, d, f"psi_{i:05d}"))
             np.testing.assert_allclose(a, b, atol=1e-10, err_msg=f"{d} dump {i}")
+
+
+def test_mesh_auto_matches_single_device(tmp_path):
+    """run_config with mesh=auto over 8 virtual devices reproduces the
+    single-device ensemble bit-for-bit (MeshStepper path in the driver)."""
+    toml = _toml(tmp_path, seeds="1 to 3", dumps=3)  # 4 runs: divides mesh
+    root_a = str(tmp_path / "single")
+    root_b = str(tmp_path / "mesh")
+    simulator.run_config(toml, dtype=jnp.complex128, data_root=root_a)
+    simulator.run_config(toml, dtype=jnp.complex128, data_root=root_b, mesh="auto")
+    for d in sorted(os.listdir(root_a)):
+        for i in range(4):
+            a = load_complex_pair(os.path.join(root_a, d, f"psi_{i:05d}"))
+            b = load_complex_pair(os.path.join(root_b, d, f"psi_{i:05d}"))
+            np.testing.assert_allclose(a, b, atol=1e-11, err_msg=f"{d} dump {i}")
+
+
+def test_output_potential_batched(tmp_path):
+    toml = cfg.parse_toml_str(
+        """
+axis_length = 30
+final_sim_time = 0.5
+cfl = 0.5
+num_data_dumps = 2
+total_mass = 1e8
+hbar_ = 0.05
+sim_name = "pot"
+k2_cutoff = 0.95
+alias_threshold = 0.5
+dims = 2
+size = 8
+output_potential = true
+
+[ics]
+type = "SphericalTophat"
+radius = 5.0
+slope = 50
+delta = 10
+
+[sampling]
+seeds = "[1]"
+scheme = "Husimi"
+"""
+    )
+    root = str(tmp_path / "sim-data")
+    simulator.run_config(toml, dtype=jnp.complex128, data_root=root)
+    for d in ("pot", "pot-stream00001"):
+        for i in range(3):
+            phi = load_complex_pair(os.path.join(root, d, f"potential_{i:05d}"))
+            assert phi.shape == (8, 8, 1, 1)
+            assert np.all(phi.imag == 0.0)
+            assert np.abs(phi.real).max() > 0.0
