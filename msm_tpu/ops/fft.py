@@ -29,18 +29,35 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-_MODE = os.environ.get("MSM_FFT", "xla")
+_MODE = os.environ.get("MSM_FFT", "auto")
+
+# 'auto' resolves to matmul on TPU backends for sizes up to this bound:
+# measured at 256^3 c64 the two are speed-equal (27.0 vs 27.3 ms/step) but
+# the f32 matmul-DFT at HIGHEST precision leaves a spectral noise floor
+# ~4 orders of magnitude below the XLA FFT's (alias-band mass 5e-16 vs
+# 3e-12 after 40 steps). Beyond 256 the O(N) matmul cost overtakes.
+_MATMUL_MAX_SIZE = 256
 
 
 def set_default_mode(mode: str) -> None:
-    """Select the transform backend: 'xla' or 'matmul'."""
-    assert mode in ("xla", "matmul")
+    """Select the transform backend: 'auto', 'xla' or 'matmul'."""
+    assert mode in ("auto", "xla", "matmul")
     global _MODE
     _MODE = mode
 
 
-def get_mode() -> str:
-    return _MODE
+def _resolve(size: int) -> str:
+    if _MODE != "auto":
+        return _MODE
+    import jax
+
+    if jax.default_backend() in ("tpu", "axon") and size <= _MATMUL_MAX_SIZE:
+        return "matmul"
+    return "xla"
+
+
+def get_mode(size: int = 1 << 30) -> str:
+    return _resolve(size)
 
 
 def _spatial_axes(dims: int) -> tuple[int, ...]:
@@ -86,13 +103,13 @@ def _matmul_transform(psi: jnp.ndarray, dims: int, inverse: bool) -> jnp.ndarray
 
 def forward(psi: jnp.ndarray, dims: int) -> jnp.ndarray:
     """psi(x) -> psi(k), unitary normalization (fft.rs:6-30)."""
-    if _MODE == "matmul":
+    if _resolve(psi.shape[-1]) == "matmul":
         return _matmul_transform(psi, dims, inverse=False)
     return jnp.fft.fftn(psi, axes=_spatial_axes(dims), norm="ortho")
 
 
 def inverse(psik: jnp.ndarray, dims: int) -> jnp.ndarray:
     """psi(k) -> psi(x), unitary normalization (fft.rs:32-57)."""
-    if _MODE == "matmul":
+    if _resolve(psik.shape[-1]) == "matmul":
         return _matmul_transform(psik, dims, inverse=True)
     return jnp.fft.ifftn(psik, axes=_spatial_axes(dims), norm="ortho")

@@ -357,9 +357,13 @@ class Stepper:
         rho = jnp.asarray(self.density_prefactor, self.rdtype) * jnp.real(
             psi * jnp.conj(psi)
         )
+        # Half-spectrum rfft Poisson on the XLA path. The matmul-DFT mode
+        # keeps the Poisson solve on matmuls too: a mixed rfft+matmul step
+        # graph was observed to stall the remote AOT compiler (>10 min),
+        # while the all-matmul step compiles in ~2.5 min and ties on speed.
         from .ops import fft as fft_ops
 
-        if self.spatial_axis is None and fft_ops.get_mode() != "matmul":
+        if self.spatial_axis is None and fft_ops.get_mode(self.params.size) != "matmul":
             axes = self._spatial_axes
             rho_k = jnp.fft.rfftn(rho, axes=axes)
             spec_r = self._spec_grid_r

@@ -12,9 +12,14 @@ import time
 
 
 def estimate_sol_updates_per_s(bytes_per_cell: int = 8) -> float:
-    """Speed-of-light cell-updates/s for one KDK step on one v5e chip."""
+    """Speed-of-light cell-updates/s for one KDK step on one v5e chip.
+
+    Step = 5 complex transforms (2 kinetic round trips + 1 re-forward) plus
+    the half-spectrum Poisson pair (~1 complex equivalent) at ~3 axis
+    passes x read+write each, plus ~8 fused elementwise passes.
+    """
     hbm_gbps = 819.0
-    passes = 6 * 3 * 2 + 10  # 6 FFTs x 3 axis passes x r/w + elementwise
+    passes = 6 * 3 * 2 + 8
     return hbm_gbps * 1e9 / (passes * bytes_per_cell)
 
 
