@@ -97,7 +97,7 @@ class MeshStepper:
             phi_max=self.scalar_spec,
         )
         self.consts_specs = StepConsts(
-            spec_grid=kspec, alias_mask=kspec, tau_dumps=P()
+            spec_grid=kspec, alias_mask=kspec, tau_dumps=P(), spec_grid_r=P()
         )
 
         def smap(f, out_specs):
@@ -141,9 +141,17 @@ class MeshStepper:
             )
         )
 
-        # Device-placed, mesh-sharded constants.
+        # Device-placed, mesh-sharded constants. With spatial sharding the
+        # rfft half-spectrum grid is unused (pencil path) — replace it with
+        # a placeholder instead of replicating a large array per device.
+        consts_host = self.stepper.consts
+        if shard_space:
+            consts_host = dataclasses.replace(
+                consts_host,
+                spec_grid_r=jnp.zeros((1,) * params.dims, self.stepper.rdtype),
+            )
         self.consts = jax.device_put(
-            self.stepper.consts,
+            consts_host,
             jax.tree_util.tree_map(
                 lambda spec: NamedSharding(mesh, spec), self.consts_specs
             ),

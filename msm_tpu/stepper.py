@@ -82,6 +82,7 @@ class StepConsts:
     spec_grid: jax.Array
     alias_mask: jax.Array
     tau_dumps: jax.Array
+    spec_grid_r: jax.Array  # half-spectrum k^2 for the rfft Poisson path
 
 
 class Stepper:
@@ -159,16 +160,16 @@ class Stepper:
             self.poisson_coeff = POIS_CONST
             tau_dumps = np.zeros(n_dumps + 1)
 
+        # NB: grid constants travel as ARGUMENTS of every jitted entry
+        # point, never as closure captures — a captured 512^3 grid would be
+        # embedded in the serialized program as a literal (the remote AOT
+        # compiler rejects the payload; smaller grids still pay compile
+        # time proportional to the embedded megabytes).
         self.consts = StepConsts(
             spec_grid=jnp.asarray(spec, self.rdtype),
             alias_mask=jnp.asarray(mask, self.rdtype),
             tau_dumps=jnp.asarray(tau_dumps, self.tdtype),
-        )
-        # Half-spectrum k^2 grid for the real-input Poisson transform
-        # (single-device path): rfftn keeps only the last axis's
-        # non-negative frequencies.
-        self._spec_grid_r = jnp.asarray(
-            spec[..., : p.size // 2 + 1] if p.dims >= 1 else spec, self.rdtype
+            spec_grid_r=jnp.asarray(spec[..., : p.size // 2 + 1], self.rdtype),
         )
 
         # Everything device-side is jitted: on the axon TPU backend eager
@@ -292,12 +293,12 @@ class Stepper:
         axon backend cannot transfer complex dtypes, utils/transfer.py).
         """
         if isinstance(psi0, jax.Array):
-            return self._jit_init_z(psi0)
+            return self._jit_init_z(psi0, self.consts)
         arr = np.asarray(psi0)
         rdtype = np.dtype(self.rdtype)
         re = np.ascontiguousarray(arr.real, dtype=rdtype)
         im = np.ascontiguousarray(arr.imag, dtype=rdtype)
-        return self._jit_init(re, im)
+        return self._jit_init(re, im, self.consts)
 
     def _init_from_planes(self, re, im, consts: StepConsts | None = None) -> SimState:
         return self._init_from_psi(jax.lax.complex(re, im), consts)
@@ -366,7 +367,7 @@ class Stepper:
         if self.spatial_axis is None and fft_ops.get_mode(self.params.size) != "matmul":
             axes = self._spatial_axes
             rho_k = jnp.fft.rfftn(rho, axes=axes)
-            spec_r = self._spec_grid_r
+            spec_r = consts.spec_grid_r
             inv_k2 = jnp.where(spec_r > 0.0, 1.0, 0.0) / jnp.where(
                 spec_r > 0.0, spec_r, 1.0
             )
@@ -560,13 +561,13 @@ class Stepper:
 
     def evolve_to_next_dump(self, state: SimState, batched: bool = False) -> SimState:
         del batched  # the step is batch-generic; kept for API compatibility
-        return self._jit_evolve(state)
+        return self._jit_evolve(state, self.consts)
 
     def step(self, state: SimState) -> SimState:
-        return self._jit_step(state)
+        return self._jit_step(state, self.consts)
 
     def potential(self, psi):
-        return self._jit_potential(psi)
+        return self._jit_potential(psi, self.consts)
 
     # ------------------------------------------------------------------
     # Host-side dump bookkeeping
