@@ -19,6 +19,12 @@ def main() -> None:
     parser.add_argument("--dims", type=int, default=3)
     parser.add_argument("--streams", type=int, default=1)
     parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument(
+        "--metric",
+        choices=("kdk", "streams"),
+        default="kdk",
+        help="kdk: grid-updates/s on one big grid; streams: ensemble streams/s",
+    )
     args = parser.parse_args()
 
     from msm_tpu.utils import benchmarks

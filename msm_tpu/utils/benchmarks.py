@@ -79,5 +79,72 @@ def run_kdk_bench(size: int, dims: int, streams: int, steps: int) -> dict:
     }
 
 
+def run_ensemble_bench(
+    size: int = 16, dims: int = 3, streams: int = 128, dumps: int = 8
+) -> dict:
+    """streams/s on the reference's headline ensemble shape (128 Wigner
+    streams at 16^3, BASELINE.md): full evolve-to-dump chunks, batched."""
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .. import config as cfg
+    from ..models.ics import build_ics
+    from ..models.sampling import sample_stream_batch
+    from ..stepper import Stepper
+    from .cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    toml = cfg.TomlParameters(
+        axis_length=30.0,
+        final_sim_time=float(dumps) * 0.2,
+        cfl=0.5,
+        num_data_dumps=dumps,
+        total_mass=1e11,
+        ntot=1e10,
+        hbar_=0.05,
+        sim_name="bench-ens",
+        k2_cutoff=0.95,
+        alias_threshold=1e9,
+        dims=dims,
+        size=size,
+        ics=cfg.SphericalTophat(radius=5.0, delta=100.0, slope=50.0),
+    )
+    params = cfg.resolve_parameters(toml)
+    stepper = Stepper(params, jnp.complex64)
+
+    from .transfer import device_put_complex
+
+    psi0 = device_put_complex(build_ics(params), jnp.complex64)
+    seeds = jnp.arange(1, streams + 1, dtype=jnp.uint32)
+    batch = sample_stream_batch(psi0, params, seeds, "Wigner")
+    state = stepper.init_state(batch, batched=True)
+
+    # warm up one chunk (compile)
+    state = stepper.snap_after_dump(stepper.evolve_to_next_dump(state))
+    jax.block_until_ready(state.psi)
+
+    t0 = _t.perf_counter()
+    chunks = 0
+    while stepper.not_finished(state):
+        state = stepper.snap_after_dump(stepper.evolve_to_next_dump(state))
+        chunks += 1
+    jax.block_until_ready(state.psi)
+    elapsed = _t.perf_counter() - t0
+    total_steps = int(np.asarray(state.n_steps).sum())
+    return {
+        "metric": "streams_per_s",
+        "value": round(streams * chunks / elapsed, 2),
+        "unit": f"stream-dump-intervals/s ({streams} Wigner streams, {size}^{dims})",
+        "vs_baseline": round(streams * chunks / elapsed, 2),  # ref runs streams serially
+        "ensemble_steps_per_s": round(total_steps / elapsed, 1),
+    }
+
+
 def main(args) -> None:
+    if getattr(args, "metric", "kdk") == "streams":
+        print(json.dumps(run_ensemble_bench(streams=args.streams or 128)))
+        return
     print(json.dumps(run_kdk_bench(args.size, args.dims, args.streams, args.steps)))
