@@ -87,6 +87,28 @@ def density_movie_frames(
     return paths
 
 
+def density_movie(
+    sim_dir: str,
+    out_path: str,
+    kspace: bool = False,
+    fps: int = 10,
+    max_dumps: Optional[int] = None,
+) -> str:
+    """Assemble the per-dump frames into an animated GIF.
+
+    The reference wrote mp4 via imageio+ffmpeg (`simulator/plot.py:65-128`);
+    this environment ships imageio without an ffmpeg backend, so the movie
+    container is GIF (drop the frames through ffmpeg for mp4 elsewhere).
+    """
+    import imageio.v3 as iio
+
+    with __import__("tempfile").TemporaryDirectory() as tmp:
+        frames = density_movie_frames(sim_dir, tmp, kspace, max_dumps)
+        images = [iio.imread(f) for f in frames]
+    iio.imwrite(out_path, images, duration=1000 // fps, loop=0)
+    return out_path
+
+
 def radial_profile(
     density: np.ndarray, axis_length: float, n_bins: int = 32
 ) -> tuple[np.ndarray, np.ndarray]:

@@ -62,9 +62,15 @@ def run_kdk_bench(size: int, dims: int, streams: int, steps: int) -> dict:
     state = step(state)  # warmup/compile
     jax.block_until_ready(state.psi)
 
+    # Large grids sync per step: an async queue of K in-flight steps holds
+    # K live state pytrees (2 complex grids each) and stalls the allocator
+    # once that exceeds HBM (observed at 512^3 on 16 GB).
+    sync_each = streams * size**dims * 16 * steps > 4 << 30
     t0 = time.perf_counter()
     for _ in range(steps):
         state = step(state)
+        if sync_each:
+            jax.block_until_ready(state.psi)
     jax.block_until_ready(state.psi)
     elapsed = time.perf_counter() - t0
 

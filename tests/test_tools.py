@@ -169,3 +169,17 @@ def test_dump_range_synthesis(tmp_path, rng):
     assert result["Qx"].shape == (dumps + 1, 1, 1, 1)
     series = load_complex_pair(os.path.join(root, f"{name}-combined", "Qx"))
     np.testing.assert_allclose(series, result["Qx"])
+
+
+def test_density_movie_gif(tmp_path, rng):
+    from msm_tpu.io.npy import write_complex_pair
+    from msm_tpu.tools import plotting
+
+    sim_dir = tmp_path / "movsim"
+    os.makedirs(sim_dir)
+    for dump in range(3):
+        psi = rng.standard_normal((8, 8, 1, 1)) + 1j * rng.standard_normal((8, 8, 1, 1))
+        write_complex_pair(str(sim_dir / f"psi_{dump:05d}"), psi)
+    out = plotting.density_movie(str(sim_dir), str(tmp_path / "mov.gif"))
+    assert os.path.exists(out)
+    assert os.path.getsize(out) > 1000
