@@ -550,12 +550,22 @@ class Stepper:
         """
         consts = consts if consts is not None else self.consts
         finished = state.current_dumps >= self.params.num_data_dumps
+        batched = state.psi.ndim > self.params.dims
 
         def cond(s: SimState):
             return jnp.any(self._active(s, finished))
 
-        def body(s: SimState):
-            return self._select(self._active(s, finished), self._step(s, consts), s)
+        if batched:
+            # per-stream freeze: blend advanced and frozen streams
+            def body(s: SimState):
+                return self._select(
+                    self._active(s, finished), self._step(s, consts), s
+                )
+        else:
+            # single stream: the loop condition already guarantees activity,
+            # so step unconditionally — no full-grid select traffic
+            def body(s: SimState):
+                return self._step(s, consts)
 
         return jax.lax.while_loop(cond, body, state)
 
