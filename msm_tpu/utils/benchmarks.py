@@ -59,8 +59,16 @@ def run_kdk_bench(size: int, dims: int, streams: int, steps: int) -> dict:
     step = stepper._jit_step  # batch-generic
     state = stepper.init_state(psi0, batched=streams > 1)
 
+    # Sync via a jitted reduction + scalar fetch: on the tunneled TPU
+    # backend block_until_ready does not reliably wait for remote
+    # execution — only a value transfer does.
+    redsum = jax.jit(lambda a: jnp.real(a).sum())
+
+    def sync(s):
+        return float(np.asarray(redsum(s.psi)))
+
     state = step(state)  # warmup/compile
-    jax.block_until_ready(state.psi)
+    sync(state)
 
     # Large grids sync per step: an async queue of K in-flight steps holds
     # K live state pytrees (2 complex grids each) and stalls the allocator
@@ -70,8 +78,8 @@ def run_kdk_bench(size: int, dims: int, streams: int, steps: int) -> dict:
     for _ in range(steps):
         state = step(state)
         if sync_each:
-            jax.block_until_ready(state.psi)
-    jax.block_until_ready(state.psi)
+            sync(state)
+    sync(state)
     elapsed = time.perf_counter() - t0
 
     cells = streams * size**dims
@@ -128,16 +136,18 @@ def run_ensemble_bench(
     batch = sample_stream_batch(psi0, params, seeds, "Wigner")
     state = stepper.init_state(batch, batched=True)
 
+    redsum = jax.jit(lambda a: jnp.real(a).sum())
+
     # warm up one chunk (compile)
     state = stepper.snap_after_dump(stepper.evolve_to_next_dump(state))
-    jax.block_until_ready(state.psi)
+    float(np.asarray(redsum(state.psi)))
 
     t0 = _t.perf_counter()
     chunks = 0
     while stepper.not_finished(state):
         state = stepper.snap_after_dump(stepper.evolve_to_next_dump(state))
         chunks += 1
-    jax.block_until_ready(state.psi)
+    float(np.asarray(redsum(state.psi)))
     elapsed = _t.perf_counter() - t0
     total_steps = int(np.asarray(state.n_steps).sum())
     return {
