@@ -18,7 +18,7 @@ import dataclasses
 import math
 import re
 import tomllib
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Iterator, Literal, Optional, Sequence, Union
 
 from .constants import HBAR, LITTLE_H_TO_BIG_H

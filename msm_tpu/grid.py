@@ -17,20 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def real_dtype(dtype) -> jnp.dtype:
-    return jnp.finfo(dtype).dtype if jnp.issubdtype(dtype, jnp.floating) else {
-        jnp.complex64: jnp.dtype(jnp.float32),
-        jnp.complex128: jnp.dtype(jnp.float64),
-    }[jnp.dtype(dtype).type]
-
-
-def complex_dtype(dtype) -> jnp.dtype:
-    d = jnp.dtype(dtype)
-    if jnp.issubdtype(d, jnp.complexfloating):
-        return d
-    return jnp.dtype(jnp.complex64) if d == jnp.float32 else jnp.dtype(jnp.complex128)
-
-
 def get_kgrid(dx: float, size: int, dtype=np.float64) -> np.ndarray:
     """Fourier frequencies in cycles per unit length (fftfreq layout).
 

@@ -26,7 +26,6 @@ spatially sharded (use the stream axis instead).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -30,7 +30,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SimulationParameters
 from ..stepper import SimState, StepConsts, Stepper
-from . import pfft
 from .mesh import SPACE_AXIS, STREAM_AXIS
 
 

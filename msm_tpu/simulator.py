@@ -29,7 +29,6 @@ from .config import (
     SimulationParameters,
     TomlParameters,
     iter_stream_parameters,
-    resolve_parameters,
 )
 from .errors import FourierAliasingError
 from .io.checkpoint import load_manifest, write_manifest
@@ -167,7 +166,6 @@ def _make_stepper(params, dtype, dt_mode: str, mesh: str, n_runs: int):
     """
     if mesh == "none" or len(jax.devices()) <= 1:
         return Stepper(params, dtype, dt_mode=dt_mode)
-    from .parallel.mesh import make_mesh
     from .parallel.sharded import MeshStepper
 
     n_dev = len(jax.devices())

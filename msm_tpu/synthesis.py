@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import glob
 import os
-import re
 from dataclasses import dataclass, field
 from typing import Callable, Optional, Sequence
 
@@ -37,7 +36,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import (
-    SimulationParameters,
     TomlParameters,
     determine_pmass_hbar,
     get_supercomoving_boxsize,
