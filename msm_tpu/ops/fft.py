@@ -29,13 +29,14 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-_MODE = os.environ.get("MSM_FFT", "auto")
-
-# 'auto' resolves to matmul on TPU backends for sizes up to this bound:
-# measured at 256^3 c64 the two are speed-equal (27.0 vs 27.3 ms/step) but
-# the f32 matmul-DFT at HIGHEST precision leaves a spectral noise floor
-# ~4 orders of magnitude below the XLA FFT's (alias-band mass 5e-16 vs
-# 3e-12 after 40 steps). Beyond 256 the O(N) matmul cost overtakes.
+# Default 'xla'. 'auto' resolves to matmul on TPU backends for sizes up to
+# _MATMUL_MAX_SIZE: measured at 256^3 c64 the two are speed-equal (27.0 vs
+# 27.3 ms/step) but the f32 matmul-DFT at HIGHEST precision leaves a
+# spectral noise floor ~4 orders of magnitude below the XLA FFT's
+# (alias-band mass 5e-16 vs 3e-12 after 40 steps). matmul is not the
+# default because the remote AOT compiler's time on matmul-heavy step
+# graphs is erratic (minutes to indefinite when combined with lax.cond).
+_MODE = os.environ.get("MSM_FFT", "xla")
 _MATMUL_MAX_SIZE = 256
 
 

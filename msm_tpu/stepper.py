@@ -418,6 +418,22 @@ class Stepper:
         mass = self._spatial_sum(jnp.real(psik * jnp.conj(psik)) * consts.alias_mask)
         return mass * jnp.asarray(p.dk**p.dims, self.rdtype)
 
+    def _lazy_inv(self, psik, psi_old, is_dump):
+        """End-of-step psi materialization.
+
+        In exact mode psi is needed immediately (the next step's dt
+        potential reads it), so invert unconditionally. In lagged mode psi
+        is consumed only at dump boundaries — skip the inverse FFT on
+        non-dump steps (~one transform in four). Invariant: with
+        dt_mode="lagged", state.psi is fresh only when just_dumped (always
+        true at evolve_to_next_dump exits, where dumps are read).
+        """
+        if self.dt_mode == "exact":
+            return self._inv(psik)
+        return jax.lax.cond(
+            jnp.any(is_dump), self._inv, lambda _pk: psi_old, psik
+        )
+
     # ------------------------------------------------------------------
     # One KDK step (batch-generic)
     # ------------------------------------------------------------------
@@ -450,7 +466,7 @@ class Stepper:
         psik = self._fwd(psi)
         # Second half kick (:562-574)
         psik = self._apply_kinetic(psik, kcoeff, consts)
-        psi = self._inv(psik)
+        psi = self._lazy_inv(psik, state.psi, is_dump)
 
         time = state.time + dt
         alias_mass = self._alias_mass(psik, consts)
@@ -499,7 +515,7 @@ class Stepper:
 
         psik = self._fwd(psi)
         psik = self._apply_kinetic(psik, kcoeff, consts)
-        psi = self._inv(psik)
+        psi = self._lazy_inv(psik, state.psi, is_dump)
 
         alias_mass = self._alias_mass(psik, consts)
         aliased = state.aliased | (alias_mass > p.alias_threshold)
