@@ -79,26 +79,78 @@ def _dft_matrix(size: int, inverse: bool, rdtype_name: str) -> np.ndarray:
     return w.astype(cdtype)
 
 
+# Radix for the factorized (Cooley-Tukey) matmul transform: the first
+# stage contracts exactly one MXU tile width.
+_CT_RADIX = 128
+
+
+@functools.lru_cache(maxsize=None)
+def _ct_factors(size: int, inverse: bool, rdtype_name: str):
+    """(W1, twiddle, W2) for the split size = N1 * N2 with N1 = 128.
+
+    Decimation-in-time with n = N2*n1 + n2, k = N1*k2 + k1:
+      X[k] = sum_n2 e^{-2pi i n2 k2/N2} * T[n2,k1] * sum_n1 x[N2 n1+n2] W1[n1,k1]
+    with T[n2,k1] = e^{-2pi i n2 k1 / N}. Ortho norm split across W1/W2.
+    """
+    n1, n2 = _CT_RADIX, size // _CT_RADIX
+    cdtype = np.complex64 if rdtype_name == "float32" else np.complex128
+    sign = 2.0j if inverse else -2.0j
+    j1 = np.arange(n1)
+    w1 = np.exp(sign * np.pi * np.outer(j1, j1) / n1) / math.sqrt(n1)
+    j2 = np.arange(n2)
+    w2 = np.exp(sign * np.pi * np.outer(j2, j2) / n2) / math.sqrt(n2)
+    tw = np.exp(sign * np.pi * np.outer(j2, j1) / size)  # T[n2, k1]
+    return w1.astype(cdtype), tw.astype(cdtype), w2.astype(cdtype)
+
+
+def _ct_axis(psi: jnp.ndarray, lead: int, size: int, inverse: bool, rname: str):
+    """Transform axis `lead` by factorized matmuls; result axis lands LAST."""
+    import jax
+
+    hi = jax.lax.Precision.HIGHEST
+    n1, n2 = _CT_RADIX, size // _CT_RADIX
+    w1, tw, w2 = _ct_factors(size, inverse, rname)
+    shape = psi.shape
+    # split the axis: n = N2*n1 + n2 -> row-major (n1, n2)
+    psi = psi.reshape(shape[:lead] + (n1, n2) + shape[lead + 1 :])
+    # stage 1: contract n1 (full MXU tile); k1 appended last
+    psi = jnp.tensordot(psi, w1, axes=[[lead], [0]], precision=hi)
+    # twiddle T[n2, k1]: n2 now sits at `lead`, k1 last
+    t = tw.reshape((n2,) + (1,) * (psi.ndim - lead - 2) + (n1,))
+    psi = psi * t
+    # stage 2: contract n2; k2 appended last -> (..., k1, k2)
+    psi = jnp.tensordot(psi, w2, axes=[[lead], [0]], precision=hi)
+    # k = N1*k2 + k1 -> need (k2, k1) order before flattening
+    psi = jnp.swapaxes(psi, -1, -2)
+    return psi.reshape(psi.shape[: psi.ndim - 2] + (size,))
+
+
 def _matmul_transform(psi: jnp.ndarray, dims: int, inverse: bool) -> jnp.ndarray:
     """Per-axis DFT as MXU matmuls, zero explicit transposes.
 
-    Each tensordot contracts the current LEADING spatial axis and appends
-    the transformed axis at the end; after `dims` rounds the cyclic appends
+    Each round contracts the current LEADING spatial axis and appends the
+    transformed axis at the end; after `dims` rounds the cyclic appends
     restore exactly the canonical axis order ((z,y,x) -> (y,x,kz) ->
-    (x,kz,ky) -> (kz,ky,kx)). HIGHEST precision keeps the MXU in f32 (the
-    TPU default would compute in bf16 — a 1e-2 relative error, unusable
-    for unitary evolution).
+    (x,kz,ky) -> (kz,ky,kx)). Sizes that factor as 128*N2 use the
+    Cooley-Tukey two-stage form (a full-width 128 contraction + a small
+    one + twiddles: ~(128+N2)/N of the full-DFT flops). HIGHEST precision
+    keeps the MXU in f32 (the TPU default would compute in bf16 — a 1e-2
+    relative error, unusable for unitary evolution).
     """
     import jax
 
     rname = "float32" if psi.dtype == jnp.complex64 else "float64"
     size = psi.shape[-1]
-    w = _dft_matrix(size, inverse, rname)
+    use_ct = size > _CT_RADIX and size % _CT_RADIX == 0
+    w = None if use_ct else _dft_matrix(size, inverse, rname)
     for _ in range(dims):
-        # contract the FIRST spatial axis; transformed axis lands last
-        psi = jnp.tensordot(
-            psi, w, axes=[[psi.ndim - dims], [0]], precision=jax.lax.Precision.HIGHEST
-        )
+        lead = psi.ndim - dims
+        if use_ct:
+            psi = _ct_axis(psi, lead, size, inverse, rname)
+        else:
+            psi = jnp.tensordot(
+                psi, w, axes=[[lead], [0]], precision=jax.lax.Precision.HIGHEST
+            )
     return psi
 
 
