@@ -389,6 +389,43 @@ class SimulationParameters:
         """Array axis corresponding to config axis i (x=0, y=1, z=2)."""
         return self.dims - 1 - config_axis
 
+    def __str__(self) -> str:
+        """Parameter table matching the reference's Display impl
+        (`simulator/src/simulation_object.rs:325-363`)."""
+        from .grid import k2_max as _k2max
+
+        lines = ["-" * 40]
+
+        def row(name, value, fmt="{:.6e}"):
+            lines.append(f"{name:<20}= " + fmt.format(value))
+
+        row("axis_length", self.axis_length)
+        if self.comoving_boxsize is not None:
+            row("comoving_boxsize", self.comoving_boxsize)
+        row("dx", self.dx)
+        row("current_time", self.time)
+        row("final_sim_time", self.final_sim_time)
+        row("cfl", self.cfl)
+        row("num_data_dumps", float(self.num_data_dumps))
+        row("total_mass", self.total_mass)
+        row("particle_mass", self.particle_mass)
+        row("hbar_", self.hbar_)
+        row("sim_name", self.sim_name, "{}")
+        row("k2_cutoff", self.k2_cutoff)
+        row("alias_threshold", self.alias_threshold)
+        row("k2_max", _k2max(self.dx, self.dims, self.size))
+        row("n_tot", self.n_tot)
+        row("dims", self.dims, "{}")
+        row("size", self.size, "{}")
+        lines.append("-" * 40)
+        if self.cosmology is not None:
+            lines.append(f"\n{self.cosmology!r}")
+        if self.sampling is not None:
+            lines.append("\n[sampling_parameters]")
+            lines.append(f"{'sampling_scheme':<20}= {self.sampling.scheme!r}")
+            lines.append(f"{'seed':<20}= {self.sampling.seed!r}")
+        return "\n".join(lines)
+
 
 def resolve_parameters(
     toml: TomlParameters,

@@ -238,8 +238,11 @@ def run_single(
         state = stepper.init_state(psi0)
 
     if verbose:
-        print(f"Working on simulation {params.sim_name}")
-        print(params)
+        from .constants import HBAR, POIS_CONST
+
+        print(f"\nWorking on simulation {params.sim_name}")
+        print(f"Simulation Parameters\n{params}")
+        print(f"Physical Constants\nHBAR = {HBAR:.5e}\nPOIS_CONSTANT = {POIS_CONST:.5e}")
 
     if test_only:
         return state
