@@ -107,3 +107,39 @@ def local_dump_range(dumps: Sequence[int]) -> Sequence[int]:
     rank = jax.process_index()
     chunk = (len(dumps) + n_proc - 1) // n_proc
     return dumps[rank * chunk : (rank + 1) * chunk]
+
+
+def addressable_batch_indices(arr) -> Sequence[int]:
+    """Leading-axis indices whose shards live on this process's devices.
+
+    Multi-host dump ownership: with the stream axis sharded over processes,
+    each process writes exactly the streams it holds (the simulator-side
+    analogue of the Balancer's rank-chunked ownership,
+    `synthesizer/src/balancer.rs:75-83`).
+    """
+    idx = set()
+    n = arr.shape[0]
+    for shard in arr.addressable_shards:
+        sl = shard.index[0]
+        if isinstance(sl, slice):
+            idx.update(range(*sl.indices(n)))
+        else:
+            idx.add(int(sl))
+    return sorted(idx)
+
+
+def fetch_batch_slices(arr, indices: Sequence[int]):
+    """Fetch {i: np.ndarray} for owned leading-axis slices from local shards."""
+    import numpy as _np
+
+    out = {}
+    want = set(indices)
+    for shard in arr.addressable_shards:
+        sl = shard.index[0]
+        start = sl.indices(arr.shape[0])[0] if isinstance(sl, slice) else int(sl)
+        data = _np.asarray(shard.data)
+        for j in range(data.shape[0]):
+            gi = start + j
+            if gi in want and gi not in out:
+                out[gi] = data[j]
+    return out

@@ -88,6 +88,70 @@ def _state_scalars(state: SimState, i: Optional[int] = None) -> dict:
     }
 
 
+class _EnsembleHostView:
+    """Host-side view of a batched state that works single- and multi-host.
+
+    Single host: direct transfers. Multi host: per-stream scalar leaves are
+    allgathered (they are sharded over processes along the stream axis) and
+    each process fetches only the psi streams whose shards it holds — dump
+    ownership follows data ownership, so no cross-host field traffic.
+    """
+
+    def __init__(self, state: SimState, n: int):
+        self.n = n
+        self.multihost = jax.process_count() > 1
+        if not self.multihost:
+            self.owned = list(range(n))
+            self._psi = None
+            self.state = state
+            return
+        from jax.experimental import multihost_utils
+
+        from .parallel.mesh import addressable_batch_indices, fetch_batch_slices
+
+        def gather(x):
+            return multihost_utils.process_allgather(x, tiled=True)
+
+        self.scalars = {
+            name: np.asarray(gather(getattr(state, name))).reshape(-1)[:n]
+            for name in (
+                "time",
+                "tau",
+                "a",
+                "current_dumps",
+                "n_steps",
+                "just_dumped",
+                "aliased",
+                "alias_mass",
+            )
+        }
+        self.owned = addressable_batch_indices(state.psi)
+        self._psi = fetch_batch_slices(state.psi, self.owned)
+        self.state = state
+
+    def scalar(self, name: str) -> np.ndarray:
+        if self.multihost:
+            return self.scalars[name]
+        return np.asarray(getattr(self.state, name))
+
+    def psi(self, i: int) -> np.ndarray:
+        if self.multihost:
+            return self._psi[i]
+        if self._psi is None:
+            self._psi = device_get_complex(self.state.psi)
+        return self._psi[i]
+
+    def run_scalars(self, i: int) -> dict:
+        return {
+            "current_dumps": int(self.scalar("current_dumps")[i]),
+            "time": float(self.scalar("time")[i]),
+            "tau": float(self.scalar("tau")[i]),
+            "a": float(self.scalar("a")[i]),
+            "n_steps": int(self.scalar("n_steps")[i]),
+            "aliased": bool(self.scalar("aliased")[i]),
+        }
+
+
 def _try_resume_batch(all_params, stepper: Stepper, data_root: str):
     """Rebuild a batched SimState from per-run manifests + last psi dumps.
 
@@ -142,10 +206,7 @@ def _debug_validate(psi_np: np.ndarray, params: SimulationParameters, where: str
         )
 
 
-def _report_aliasing(
-    params: SimulationParameters, state: SimState, i: Optional[int], strict: bool
-):
-    mass = float(np.asarray(state.alias_mass) if i is None else np.asarray(state.alias_mass)[i])
+def _report_aliasing(params: SimulationParameters, mass: float, strict: bool):
     err = FourierAliasingError(
         threshold=params.alias_threshold,
         k2_cutoff=params.k2_cutoff,
@@ -263,7 +324,7 @@ def run_single(
         while stepper.not_finished(state):
             state = stepper.evolve_to_next_dump(state)
             if bool(state.aliased):
-                _report_aliasing(params, state, None, strict_alias)
+                _report_aliasing(params, float(np.asarray(state.alias_mass)), strict_alias)
                 break
             state = stepper.snap_after_dump(state)
             idx = int(state.current_dumps)
@@ -385,68 +446,85 @@ def run_config(
 
             combiner = online_combiner_for(toml, data_root, writer)
 
+        process0 = jax.process_index() == 0
+
         def combine_dump(valid_streams: np.ndarray, dump_idx: int):
             # weights: streams that produced this dump; the MFT (last batch
-            # element) never participates in the ensemble average.
+            # element) never participates in the ensemble average. The
+            # reduction is collective (runs on every process); only process
+            # 0 writes the combined files.
             if combiner is None or not valid_streams[:-1].any():
                 return
             weights = valid_streams.copy()
             weights[-1] = False
-            combiner.on_dump(state.psi, weights, dump_idx)
+            combiner.on_dump(state.psi, weights, dump_idx, write=process0)
 
-        def dump_potentials(mask: np.ndarray, dumps_idx: np.ndarray):
+        def dump_potentials(mask: np.ndarray, dumps_idx: np.ndarray, owned):
             """Dump phi for runs with output_potential (simulation_object.rs:1166-1180)."""
             if not toml.output_potential:
                 return
-            pot_np = np.asarray(stepper.potential(state.psi))
-            cdtype = np.complex64 if pot_np.dtype == np.float32 else np.complex128
-            for i, r in enumerate(runs):
+            pot = stepper.potential(state.psi)
+            if jax.process_count() > 1:
+                from .parallel.mesh import fetch_batch_slices
+
+                pots = fetch_batch_slices(pot, list(owned))
+            else:
+                pot_np = np.asarray(pot)
+                pots = {i: pot_np[i] for i in owned}
+            for i in owned:
                 if mask[i]:
-                    r.dump_field(pot_np[i].astype(cdtype), int(dumps_idx[i]), "potential")
+                    arr = pots[i]
+                    cdtype = np.complex64 if arr.dtype == np.float32 else np.complex128
+                    runs[i].dump_field(arr.astype(cdtype), int(dumps_idx[i]), "potential")
 
         if not resume:
-            psi_np = device_get_complex(state.psi)
-            for i, r in enumerate(runs):
-                r.dump_field(psi_np[i], 0)
-                r.write_manifest(_state_scalars(state, i))
-            dump_potentials(np.ones(n, bool), np.zeros(n, int))
+            view = _EnsembleHostView(state, n)
+            for i in view.owned:
+                runs[i].dump_field(view.psi(i), 0)
+                runs[i].write_manifest(view.run_scalars(i))
+            dump_potentials(np.ones(n, bool), np.zeros(n, int), view.owned)
             combine_dump(np.ones(n, bool), 0)
 
         while stepper.not_finished(state):
             state = stepper.evolve_to_next_dump(state, batched=True)
-            aliased = np.asarray(state.aliased)
-            just_dumped = np.asarray(state.just_dumped)
+            pre_view = _EnsembleHostView(state, n)
+            aliased = pre_view.scalar("aliased")
+            just_dumped = pre_view.scalar("just_dumped")
             state = stepper.snap_after_dump(state)
-            psi_np = device_get_complex(state.psi)
-            dumps_np = np.asarray(state.current_dumps)
-            for i, r in enumerate(runs):
+            view = _EnsembleHostView(state, n)
+            dumps_np = view.scalar("current_dumps")
+            for i in view.owned:
+                r = runs[i]
                 if aliased[i]:
                     if not reported_alias[i]:
-                        _report_aliasing(all_params[i], state, i, strict_alias)
+                        _report_aliasing(
+                            all_params[i],
+                            float(view.scalar("alias_mass")[i]),
+                            strict_alias,
+                        )
                         reported_alias[i] = True
-                        r.write_manifest(_state_scalars(state, i))
+                        r.write_manifest(view.run_scalars(i))
                     continue
                 if just_dumped[i]:
                     if debug_checks:
                         _debug_validate(
-                            psi_np[i], all_params[i], f"{r.params.sim_name} dump"
+                            view.psi(i), all_params[i], f"{r.params.sim_name} dump"
                         )
-                    r.dump_field(psi_np[i], int(dumps_np[i]))
-                    scalars = _state_scalars(state, i)
+                    r.dump_field(view.psi(i), int(dumps_np[i]))
+                    scalars = view.run_scalars(i)
                     scalars["wall_time_ms"] = (_time.monotonic() - t_start) * 1e3
                     r.write_manifest(scalars)
             if just_dumped.any():
-                dump_potentials(just_dumped & ~aliased, dumps_np)
+                dump_potentials(just_dumped & ~aliased, dumps_np, view.owned)
                 combine_dump(
                     just_dumped & ~aliased, int(dumps_np[just_dumped.argmax()])
                 )
             done = int(dumps_np.min())
             if toml.cosmology is not None:
-                a_min = float(np.asarray(state.a).min())
-                progress.update(done, redshift=1.0 / a_min - 1.0)
+                progress.update(done, redshift=1.0 / float(view.scalar("a").min()) - 1.0)
             else:
-                progress.update(done, sim_time=float(np.asarray(state.time).min()))
-        if combiner is not None:
+                progress.update(done, sim_time=float(view.scalar("time").min()))
+        if combiner is not None and process0:
             combiner.finalize()
         progress.finish()
     return [state]

@@ -631,9 +631,14 @@ class Stepper:
     def not_finished(self, state: SimState) -> bool:
         """Whether any stream still has evolution left (not_finished, :1226-1228).
 
-        Host-side numpy on fetched scalars — no eager device ops.
+        Host-side numpy on fetched scalars — no eager device ops. Multi-host
+        states (process-sharded stream axis) gather the tiny scalar leaves.
         """
-        done = (np.asarray(state.current_dumps) >= self.params.num_data_dumps) | (
-            np.asarray(state.aliased)
-        )
+        dumps, aliased = state.current_dumps, state.aliased
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            dumps = multihost_utils.process_allgather(dumps, tiled=True)
+            aliased = multihost_utils.process_allgather(aliased, tiled=True)
+        done = (np.asarray(dumps) >= self.params.num_data_dumps) | np.asarray(aliased)
         return not bool(np.all(done))

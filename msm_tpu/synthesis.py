@@ -294,10 +294,18 @@ class OnlineCombiner:
 
         self._combine = combine
 
-    def on_dump(self, psi_streams, valid: np.ndarray, dump: int) -> None:
-        """Reduce the (n_streams, *grid) device batch and write the dump."""
+    def on_dump(
+        self, psi_streams, valid: np.ndarray, dump: int, write: bool = True
+    ) -> None:
+        """Reduce the (n_streams, *grid) device batch and write the dump.
+
+        The reduction is a collective over any mesh the batch is sharded on
+        — call from every process; pass write=True only on the one that
+        owns the combined files (process 0 in multi-host runs)."""
         weights = jnp.asarray(valid.astype(np.float32 if psi_streams.dtype == jnp.complex64 else np.float64))
         fields = self._combine(psi_streams, weights)
+        if not write:
+            return
         host = {name: device_get_complex(arr) for name, arr in fields.items()}
         size = host["psi"].shape[0]
         pad = (1,) * (4 - self.dims)
