@@ -23,7 +23,7 @@ from typing import Optional, Sequence
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 STREAM_AXIS = "stream"
 SPACE_AXIS = "x"
@@ -56,45 +56,6 @@ def make_mesh(
     n_stream, n_space = _split_devices(n, max_space)
     arr = np.asarray(devices).reshape(n_stream, n_space)
     return Mesh(arr, (STREAM_AXIS, SPACE_AXIS)), (STREAM_AXIS, SPACE_AXIS)
-
-
-def grid_spec(dims: int, batched: bool, shard_space: bool = True) -> P:
-    """PartitionSpec for a (maybe stream-batched) spatial grid array."""
-    spatial: tuple = (SPACE_AXIS,) + (None,) * (dims - 1) if shard_space else (None,) * dims
-    if batched:
-        return P(STREAM_AXIS, *spatial)
-    return P(*spatial)
-
-
-def scalar_spec(batched: bool) -> P:
-    return P(STREAM_AXIS) if batched else P()
-
-
-def shard_state(state, mesh: Mesh, dims: int, shard_space: bool = True):
-    """Lay a SimState out on the mesh: grids (stream, x)-sharded, per-stream
-    scalars stream-sharded."""
-    batched = state.psi.ndim > dims
-    gspec = NamedSharding(mesh, grid_spec(dims, batched, shard_space))
-    sspec = NamedSharding(mesh, scalar_spec(batched))
-
-    def place(x, spec):
-        return jax.device_put(x, spec)
-
-    import dataclasses
-
-    return dataclasses.replace(
-        state,
-        psi=place(state.psi, gspec),
-        psik=place(state.psik, gspec),
-        time=place(state.time, sspec),
-        tau=place(state.tau, sspec),
-        a=place(state.a, sspec),
-        current_dumps=place(state.current_dumps, sspec),
-        n_steps=place(state.n_steps, sspec),
-        just_dumped=place(state.just_dumped, sspec),
-        aliased=place(state.aliased, sspec),
-        alias_mass=place(state.alias_mass, sspec),
-    )
 
 
 def local_dump_range(dumps: Sequence[int]) -> Sequence[int]:
