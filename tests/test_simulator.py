@@ -212,3 +212,35 @@ scheme = "Husimi"
             assert phi.shape == (8, 8, 1, 1)
             assert np.all(phi.imag == 0.0)
             assert np.abs(phi.real).max() > 0.0
+
+
+def test_strict_alias_raises(tmp_path):
+    """--strict-alias restores the reference's abort semantics."""
+    from msm_tpu.errors import FourierAliasingError
+
+    toml = cfg.parse_toml_dict(
+        {
+            "axis_length": 30,
+            "final_sim_time": 10.0,
+            "cfl": 0.9,
+            "num_data_dumps": 4,
+            "total_mass": 5e11,  # violent collapse -> aliasing
+            "hbar_": 0.01,
+            "sim_name": "alias",
+            "k2_cutoff": 0.5,
+            "alias_threshold": 1e-8,
+            "dims": 2,
+            "size": 16,
+            "ics": {"type": "SphericalTophat", "radius": 5.0, "slope": 50, "delta": 100},
+        }
+    )
+    p = cfg.resolve_parameters(toml)
+    with pytest.raises(FourierAliasingError, match="probability mass"):
+        simulator.run_single(
+            p, jnp.complex128, data_root=str(tmp_path), strict_alias=True
+        )
+    # non-strict: freezes and returns
+    state = simulator.run_single(
+        p, jnp.complex128, data_root=str(tmp_path / "b"), strict_alias=False
+    )
+    assert bool(np.asarray(state.aliased))
