@@ -70,14 +70,18 @@ def run_kdk_bench(size: int, dims: int, streams: int, steps: int) -> dict:
     state = step(state)  # warmup/compile
     sync(state)
 
-    # Large grids sync per step: an async queue of K in-flight steps holds
-    # K live state pytrees (2 complex grids each) and stalls the allocator
-    # once that exceeds HBM (observed at 512^3 on 16 GB).
-    sync_each = streams * size**dims * 16 * steps > 4 << 30
+    # Bound the async dispatch queue: K in-flight steps hold K live state
+    # pytrees (2 complex grids each) and stall the allocator once that
+    # exceeds HBM (observed at 512^3 on 16 GB). Sync only often enough to
+    # keep ~4 GB of states queued — each sync costs a host round trip
+    # (~tens of ms on the tunneled backend), so never sync per step unless
+    # the state itself is huge.
+    state_bytes = 2 * streams * size**dims * 8
+    sync_every = max(1, (4 << 30) // max(state_bytes, 1))
     t0 = time.perf_counter()
-    for _ in range(steps):
+    for i in range(steps):
         state = step(state)
-        if sync_each:
+        if (i + 1) % sync_every == 0:
             sync(state)
     sync(state)
     elapsed = time.perf_counter() - t0

@@ -244,3 +244,47 @@ def test_strict_alias_raises(tmp_path):
         p, jnp.complex128, data_root=str(tmp_path / "b"), strict_alias=False
     )
     assert bool(np.asarray(state.aliased))
+
+
+def test_e2e_1d_and_kspace_ics(tmp_path):
+    """1-D grids and the ColdGaussKSpace family through the full driver."""
+    toml = cfg.parse_toml_dict(
+        {
+            "axis_length": 60.0,
+            "final_sim_time": 2.0,
+            "cfl": 0.5,
+            "num_data_dumps": 3,
+            "total_mass": 1e9,
+            "ntot": 1e6,
+            "hbar_": 0.05,
+            "sim_name": "oned",
+            "k2_cutoff": 0.95,
+            "alias_threshold": 0.9,
+            "dims": 1,
+            "size": 64,
+            "ics": {
+                "type": "ColdGaussKSpace",
+                "mean": [0.0],
+                "std": [0.2],
+                "phase_seed": 11,
+            },
+            "sampling": {"seeds": "[2, 9]", "scheme": "Poisson"},
+        }
+    )
+    root = str(tmp_path / "sim-data")
+    simulator.run_config(toml, dtype=jnp.complex128, data_root=root)
+    for d in ("oned", "oned-stream00002", "oned-stream00009"):
+        for i in range(4):
+            psi = load_complex_pair(os.path.join(root, d, f"psi_{i:05d}"))
+            assert psi.shape == (64, 1, 1, 1)
+            norm = np.sum(np.abs(psi) ** 2) * (60.0 / 64)
+            # Poisson sampling carries shot noise in the norm (~1/sqrt(n));
+            # the MFT stays exactly normalized
+            tol = 1e-6 if d == "oned" else 1e-2
+            assert norm == pytest.approx(1.0, rel=tol)
+    # Poisson-sampled streams differ from the MFT and from each other
+    a = load_complex_pair(os.path.join(root, "oned-stream00002", "psi_00000"))
+    b = load_complex_pair(os.path.join(root, "oned-stream00009", "psi_00000"))
+    m = load_complex_pair(os.path.join(root, "oned", "psi_00000"))
+    assert np.abs(a - m).max() > 1e-6
+    assert np.abs(a - b).max() > 1e-6
