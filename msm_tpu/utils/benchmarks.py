@@ -77,7 +77,7 @@ def run_kdk_bench(size: int, dims: int, streams: int, steps: int) -> dict:
     # (~tens of ms on the tunneled backend), so never sync per step unless
     # the state itself is huge.
     state_bytes = 2 * streams * size**dims * 8
-    sync_every = max(1, (4 << 30) // max(state_bytes, 1))
+    sync_every = max(1, (6 << 30) // max(state_bytes, 1))
     t0 = time.perf_counter()
     for i in range(steps):
         state = step(state)
