@@ -23,8 +23,10 @@ from . import config, constants, cosmo, errors, grid  # noqa: F401
 from .config import (  # noqa: F401
     SimulationParameters,
     TomlParameters,
+    iter_stream_parameters,
     read_toml,
     resolve_parameters,
 )
+from .stepper import SimState, StepConsts, Stepper  # noqa: F401
 
 __version__ = "0.1.0"
