@@ -97,13 +97,13 @@ class _EnsembleHostView:
     ownership follows data ownership, so no cross-host field traffic.
     """
 
-    def __init__(self, state: SimState, n: int):
+    def __init__(self, state: SimState, n: int, fetch_psi: bool = True):
         self.n = n
         self.multihost = jax.process_count() > 1
+        self.state = state
         if not self.multihost:
             self.owned = list(range(n))
             self._psi = None
-            self.state = state
             return
         from jax.experimental import multihost_utils
 
@@ -126,8 +126,9 @@ class _EnsembleHostView:
             )
         }
         self.owned = addressable_batch_indices(state.psi)
-        self._psi = fetch_batch_slices(state.psi, self.owned)
-        self.state = state
+        self._psi = (
+            fetch_batch_slices(state.psi, self.owned) if fetch_psi else None
+        )
 
     def scalar(self, name: str) -> np.ndarray:
         if self.multihost:
@@ -239,8 +240,21 @@ def _make_stepper(params, dtype, dt_mode: str, mesh: str, n_runs: int):
                 best = (n_stream, n_space)
                 break
     if best is None:
+        if jax.process_count() > 1:
+            raise ValueError(
+                f"mesh=auto: cannot lay out {n_runs} runs over "
+                f"{n_dev} devices across {jax.process_count()} processes; "
+                "pad the seed list so run count and device count share a "
+                "divisor"
+            )
         log.warning("mesh=auto: no divisible layout; running single-device")
         return Stepper(params, dtype, dt_mode=dt_mode)
+    if jax.process_count() > 1 and best[0] % jax.process_count() != 0:
+        raise ValueError(
+            "mesh=auto: multi-host runs need whole streams per process "
+            f"(stream axis {best[0]} over {jax.process_count()} processes); "
+            "pad the seed list"
+        )
     import numpy as _np
     from jax.sharding import Mesh
 
@@ -487,7 +501,7 @@ def run_config(
 
         while stepper.not_finished(state):
             state = stepper.evolve_to_next_dump(state, batched=True)
-            pre_view = _EnsembleHostView(state, n)
+            pre_view = _EnsembleHostView(state, n, fetch_psi=False)
             aliased = pre_view.scalar("aliased")
             just_dumped = pre_view.scalar("just_dumped")
             state = stepper.snap_after_dump(state)
