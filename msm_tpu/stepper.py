@@ -132,10 +132,17 @@ class Stepper:
         # Static alias mask: modes with k^2 > k2_cutoff * k2_max.
         mask = (spec > p.k2_cutoff * self.k2_max).astype(np.float64)
 
-        # Dump schedule: t_dump[i] = i * T / num_dumps ("TODO: fix for
-        # initial_time != 0" retained from simulation_object.rs:627-631).
+        # Dump schedule: t_dump[i] = t0 + i * T / num_dumps. The reference
+        # mis-schedules dumps when `time != 0` (its "TODO: fix for
+        # initial_time != 0", simulation_object.rs:627-631, keeps the grid
+        # anchored at 0); here the grid is offset by the start time, so
+        # final_sim_time is the simulated DURATION from t0. Divergence
+        # documented in PARITY.md; identical when time == 0 (the default).
         n_dumps = p.num_data_dumps
-        self.dump_times = np.arange(n_dumps + 1) * p.final_sim_time / n_dumps
+        self.t0 = float(p.time)
+        self.dump_times = self.t0 + np.arange(n_dumps + 1) * (
+            p.final_sim_time / n_dumps
+        )
 
         if p.expanding:
             assert p.cosmology is not None and p.comoving_boxsize is not None
@@ -405,7 +412,7 @@ class Stepper:
                 self.tdtype,
             )
             potential = p.cfl * 2.0 * np.pi * p.hbar_ / (2.0 * phi_max)
-            next_dump_time = next_idx.astype(self.tdtype) * (
+            next_dump_time = self.t0 + next_idx.astype(self.tdtype) * (
                 p.final_sim_time / p.num_data_dumps
             )
             to_next = next_dump_time - state.time
@@ -611,7 +618,9 @@ class Stepper:
         """
         p = self.params
         dumps = state.current_dumps + state.just_dumped.astype(jnp.int32)
-        snapped_t = dumps.astype(self.tdtype) * (p.final_sim_time / p.num_data_dumps)
+        snapped_t = self.t0 + dumps.astype(self.tdtype) * (
+            p.final_sim_time / p.num_data_dumps
+        )
         new_time = jnp.where(state.just_dumped, snapped_t, state.time)
         if p.expanding:
             snapped_tau = jnp.asarray(self.tau_dumps, self.tdtype)[

@@ -184,3 +184,20 @@ def test_lagged_dt_mode():
     err = float(jnp.abs(sl.psi - se.psi).max())
     scale = float(jnp.abs(se.psi).max())
     assert err / scale < 5e-3
+
+
+def test_initial_time_offsets_dump_grid():
+    """With time = t0 > 0 dumps land at t0 + i*T/n (the reference's
+    "TODO: fix for initial_time != 0", simulation_object.rs:627-631,
+    fixed here; divergence documented in PARITY.md)."""
+    t0 = 5.0
+    p = _params(dims=1, size=32, num_data_dumps=4, final_sim_time=2.0, time=t0)
+    st = Stepper(p, jnp.complex128)
+    np.testing.assert_allclose(st.dump_times, t0 + np.arange(5) * 0.5)
+    state = st.init_state(ics.build_ics(p))
+    assert float(state.time) == pytest.approx(t0)
+    for i in range(1, 5):
+        state = st.snap_after_dump(st.evolve_to_next_dump(state))
+        assert int(state.current_dumps) == i
+        assert float(state.time) == pytest.approx(t0 + i * 0.5, rel=1e-12)
+    assert not st.not_finished(state)
