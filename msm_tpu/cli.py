@@ -70,6 +70,7 @@ def cmd_simulate(args) -> int:
         debug_checks=args.debug_checks,
         profile_dir=args.profile_dir,
         mesh=args.mesh,
+        use_remote_storage=not args.ignore_remote_storage,
     )
     n = cfg.stream_count(toml)
     if n > 1:
@@ -153,6 +154,12 @@ def build_parser() -> argparse.ArgumentParser:
         default="none",
         help="auto: compile the ensemble over all visible devices "
         "(stream data-parallel + spatial slabs)",
+    )
+    sim.add_argument(
+        "--ignore-remote-storage",
+        action="store_true",
+        help="write local npy dumps even when the toml has a "
+        "[remote_storage_parameters] table",
     )
     sim.add_argument(
         "--debug-checks",

@@ -85,6 +85,29 @@ class ObjectBackend:
         self.writer = writer or AsyncGridWriter()
         self._own = writer is None
 
+    @classmethod
+    def from_config(
+        cls, config, root: str, writer: Optional[AsyncGridWriter] = None
+    ) -> "ObjectBackend":
+        """Build a backend from a `[remote_storage_parameters]` table.
+
+        Mirrors `RemoteStorage::new` (`io.rs:352-408`): the reference lists
+        the drive's storage accounts, keeps those whose identifier CONTAINS
+        the configured name, and rotates among them by stream seed. Here the
+        drive is the `root` directory and accounts are its subdirectories;
+        when none match, a single account named `storage_account` is used
+        (and created on first upload).
+        """
+        name = config.storage_account
+        matches = []
+        if os.path.isdir(root):
+            matches = sorted(
+                d
+                for d in os.listdir(root)
+                if name in d and os.path.isdir(os.path.join(root, d))
+            )
+        return cls(root, matches or [name], writer=writer)
+
     def account_for(self, seed: Optional[int]) -> str:
         if seed is None:
             return self.accounts[0]
@@ -105,6 +128,13 @@ class ObjectBackend:
         base = os.path.join(account_dir, key)
         self.writer.submit(base, arr)
         return base
+
+    def grid_path(
+        self, sim_name: str, field: str, dump: int, seed: Optional[int] = None
+    ) -> str:
+        """Destination base path for a grid (for re-reading, e.g. resume)."""
+        key = f"{sim_name}_{field}_{dump:05d}"
+        return os.path.join(self.root, self.account_for(seed), key)
 
     def _put(self, base: str, arr: np.ndarray) -> None:
         write_complex_pair(base, arr)

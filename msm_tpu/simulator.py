@@ -47,21 +47,37 @@ def _dump_array(psi_np: np.ndarray, params: SimulationParameters) -> np.ndarray:
 
 
 class SimulationRun:
-    """One named simulation run: dump paths, manifests, psi dumps."""
+    """One named simulation run: dump paths, manifests, psi dumps.
+
+    With a `backend` (built from `[remote_storage_parameters]`), grids go to
+    the storage backend under flat keys with seed-rotated accounts instead
+    of the local npy layout, like the reference's default-on remote-storage
+    feature (`simulator/src/utils/io.rs:352-465`,
+    `simulation_object.rs:1186-1205`). Checkpoint manifests stay local
+    either way (resume state is this build's extension).
+    """
 
     def __init__(
         self,
         params: SimulationParameters,
         data_root: str = "sim-data",
         writer: Optional[AsyncGridWriter] = None,
+        backend=None,
     ):
         self.params = params
         self.dir = dump_dir(params.sim_name, data_root)
         self.writer = writer
+        self.backend = backend
+        self.seed = params.sampling.seed if params.sampling is not None else None
 
     def dump_field(self, psi_np: np.ndarray, dump_index: int, field: str = "psi"):
-        base = psi_path(self.dir, dump_index, field)
         arr = _dump_array(psi_np, self.params)
+        if self.backend is not None:
+            self.backend.submit_grid(
+                self.params.sim_name, field, dump_index, arr, seed=self.seed
+            )
+            return
+        base = psi_path(self.dir, dump_index, field)
         if self.writer is not None:
             self.writer.submit(base, arr)
         else:
@@ -69,8 +85,37 @@ class SimulationRun:
 
             write_complex_pair(base, arr)
 
+    def psi_base(self, dump_index: int) -> str:
+        """Base path of a written psi dump (local or backend layout)."""
+        if self.backend is not None:
+            return self.backend.grid_path(
+                self.params.sim_name, "psi", dump_index, seed=self.seed
+            )
+        return psi_path(self.dir, dump_index)
+
     def write_manifest(self, state_slice: dict):
         write_manifest(self.dir, **state_slice)
+
+
+def storage_backend_for(
+    params_or_toml, data_root: str, writer: Optional[AsyncGridWriter] = None
+):
+    """ObjectBackend from a config's `[remote_storage_parameters]`, or None.
+
+    The backend root (the stand-in for the remote drive) is
+    `$MSM_REMOTE_ROOT` or `{data_root}/remote-storage`.
+    """
+    rs = getattr(params_or_toml, "remote_storage", None) or getattr(
+        params_or_toml, "remote_storage_parameters", None
+    )
+    if rs is None:
+        return None
+    from .io.storage import ObjectBackend
+
+    root = os.environ.get(
+        "MSM_REMOTE_ROOT", os.path.join(data_root, "remote-storage")
+    )
+    return ObjectBackend.from_config(rs, root, writer=writer)
 
 
 def _state_scalars(state: SimState, i: Optional[int] = None) -> dict:
@@ -153,15 +198,14 @@ class _EnsembleHostView:
         }
 
 
-def _try_resume_batch(all_params, stepper: Stepper, data_root: str):
+def _try_resume_batch(runs, stepper: Stepper, data_root: str):
     """Rebuild a batched SimState from per-run manifests + last psi dumps.
 
     Returns None when any run lacks a usable checkpoint (fresh start).
     """
     manifests = []
-    for p in all_params:
-        d = os.path.join(data_root, p.sim_name)
-        m = load_manifest(d)
+    for r in runs:
+        m = load_manifest(r.dir)
         if m is None:
             return None
         manifests.append(m)
@@ -169,10 +213,9 @@ def _try_resume_batch(all_params, stepper: Stepper, data_root: str):
         return None
 
     psis = []
-    for p, m in zip(all_params, manifests):
-        d = os.path.join(data_root, p.sim_name)
-        base = psi_path(d, m["current_dumps"])
-        psis.append(load_complex_pair(base).reshape(p.shape))
+    for r, m in zip(runs, manifests):
+        base = r.psi_base(m["current_dumps"])
+        psis.append(load_complex_pair(base).reshape(r.params.shape))
     state = stepper.init_state(np.stack(psis), batched=True)
 
     def arr(key, dtype):
@@ -276,17 +319,21 @@ def run_single(
     strict_alias: bool = True,
     writer: Optional[AsyncGridWriter] = None,
     dt_mode: str = "exact",
+    backend=None,
+    use_remote_storage: bool = True,
 ) -> SimState:
     """Run one simulation to completion, dumping psi at every boundary."""
     stepper = Stepper(params, dtype, dt_mode=dt_mode)
-    run = SimulationRun(params, data_root, writer)
+    if backend is None and use_remote_storage:
+        backend = storage_backend_for(params, data_root, writer)
+    run = SimulationRun(params, data_root, writer, backend=backend)
 
     start_dump = 0
     if resume:
         manifest = load_manifest(run.dir)
         if manifest is not None and manifest["current_dumps"] > 0:
             start_dump = manifest["current_dumps"]
-            psi0 = load_complex_pair(psi_path(run.dir, start_dump)).reshape(
+            psi0 = load_complex_pair(run.psi_base(start_dump)).reshape(
                 params.shape
             )
             state = stepper.init_state(psi0)
@@ -375,6 +422,7 @@ def run_config(
     debug_checks: bool = False,
     profile_dir: Optional[str] = None,
     mesh: str = "none",
+    use_remote_storage: bool = True,
 ) -> Sequence[SimState]:
     """Run every stream of a config plus the MFT.
 
@@ -390,32 +438,41 @@ def run_config(
     all_params = list(iter_stream_parameters(toml))
     if online_synthesis and (not batch_streams or len(all_params) == 1):
         raise ValueError("online synthesis requires batched streams")
+    backend = (
+        storage_backend_for(toml, data_root) if use_remote_storage else None
+    )
     if not batch_streams or len(all_params) == 1:
         states = []
-        with AsyncGridWriter() as writer:
-            for p in all_params:
-                states.append(
-                    run_single(
-                        p,
-                        dtype,
-                        data_root,
-                        verbose,
-                        test_only,
-                        resume=resume,
-                        strict_alias=strict_alias and len(all_params) == 1,
-                        writer=writer,
-                        dt_mode=dt_mode,
+        try:
+            with AsyncGridWriter() as writer:
+                for p in all_params:
+                    states.append(
+                        run_single(
+                            p,
+                            dtype,
+                            data_root,
+                            verbose,
+                            test_only,
+                            resume=resume,
+                            strict_alias=strict_alias and len(all_params) == 1,
+                            writer=writer,
+                            dt_mode=dt_mode,
+                            backend=backend,
+                            use_remote_storage=use_remote_storage,
+                        )
                     )
-                )
+        finally:
+            if backend is not None:
+                backend.close()
         return states
 
     # ---------------- batched ensemble path ----------------
     mft_params = all_params[-1]
     stream_params = all_params[:-1]
     stepper = _make_stepper(mft_params, dtype, dt_mode, mesh, len(all_params))
-    runs = [SimulationRun(p, data_root) for p in all_params]
+    runs = [SimulationRun(p, data_root, backend=backend) for p in all_params]
 
-    resumed_state = _try_resume_batch(all_params, stepper, data_root) if resume else None
+    resumed_state = _try_resume_batch(runs, stepper, data_root) if resume else None
     if resumed_state is not None:
         state = resumed_state
         if verbose:
@@ -541,6 +598,8 @@ def run_config(
         if combiner is not None and process0:
             combiner.finalize()
         progress.finish()
+    if backend is not None:
+        backend.close()
     return [state]
 
 

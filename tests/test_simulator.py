@@ -288,3 +288,61 @@ def test_e2e_1d_and_kspace_ics(tmp_path):
     m = load_complex_pair(os.path.join(root, "oned", "psi_00000"))
     assert np.abs(a - m).max() > 1e-6
     assert np.abs(a - b).max() > 1e-6
+
+
+def test_remote_storage_backend_wired(tmp_path):
+    """A [remote_storage_parameters] table routes grid dumps through the
+    ObjectBackend: flat keys, seed-rotated accounts (io.rs:352-465,
+    simulation_object.rs:1186-1205); manifests stay local for resume."""
+    text = f"""
+axis_length = 30
+final_sim_time = 0.5
+cfl = 0.5
+num_data_dumps = 2
+total_mass = 1e8
+hbar_ = 0.05
+sim_name = "rsrun"
+k2_cutoff = 0.95
+alias_threshold = 0.5
+dims = 2
+size = 8
+
+[ics]
+type = "ColdGauss"
+mean = [15.0, 15.0]
+std = [4.0, 4.0]
+
+[sampling]
+seeds = "[1, 2]"
+scheme = "Wigner"
+
+[remote_storage_parameters]
+keypair = "dev.json"
+storage_account = "streams"
+"""
+    toml = cfg.parse_toml_str(text)
+    root = str(tmp_path / "d")
+    # pre-provision two matching accounts on the "drive": rotation by seed
+    remote = tmp_path / "d" / "remote-storage"
+    for acc in ("streams-a", "streams-b"):
+        (remote / acc).mkdir(parents=True)
+    simulator.run_config(toml, dtype=jnp.complex128, data_root=root)
+
+    # grids land in seed-rotated account namespaces under flat keys
+    for seed, acc in ((1, "streams-b"), (2, "streams-a")):
+        for dump in range(3):
+            base = remote / acc / f"rsrun-stream{seed:05d}_psi_{dump:05d}"
+            psi = load_complex_pair(str(base))
+            assert psi.shape == (8, 8, 1, 1)
+    # MFT (no seed) uses the first account
+    assert (remote / "streams-a" / "rsrun_psi_00000_real").exists()
+    # no local psi dumps; manifests still local
+    assert not os.path.exists(os.path.join(root, "rsrun", "psi_00000_real"))
+    assert os.path.exists(os.path.join(root, "rsrun", "manifest.json"))
+
+    # --ignore-remote-storage (use_remote_storage=False) restores local dumps
+    root2 = str(tmp_path / "d2")
+    simulator.run_config(
+        toml, dtype=jnp.complex128, data_root=root2, use_remote_storage=False
+    )
+    assert os.path.exists(os.path.join(root2, "rsrun", "psi_00002_real"))
