@@ -385,6 +385,7 @@ def run_single(
         while stepper.not_finished(state):
             state = stepper.evolve_to_next_dump(state)
             if bool(state.aliased):
+                run.write_manifest(_state_scalars(state))
                 _report_aliasing(params, float(np.asarray(state.alias_mass)), strict_alias)
                 break
             state = stepper.snap_after_dump(state)
