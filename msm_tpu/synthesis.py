@@ -47,6 +47,10 @@ from .utils.transfer import device_get_complex, device_put_complex
 DEFAULT_STREAM_CHUNK = 16
 
 ArrayFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+ScalarFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+PostArrayFn = Callable[
+    [np.ndarray, np.ndarray, np.ndarray, np.ndarray], np.ndarray
+]
 PostScalarFn = Callable[..., complex]
 
 
@@ -71,9 +75,25 @@ def qx_post_scalar(dv: float) -> PostScalarFn:
 
 @dataclass
 class SynthesisFunctions:
-    """Function registry (reference `Functions`, `lib.rs:632-1063`)."""
+    """Function registry (reference `Functions` + `PostCombineFunctions`,
+    `lib.rs:632-1063`, `main.rs:61-187`).
+
+    - ``array_functions``: per-stream (psi, psik) -> array, averaged over
+      streams per dump, written `{name}_{dump:05}` (`main.rs:63-93`).
+    - ``scalar_functions``: per-stream (psi, psik) -> complex scalar,
+      averaged over streams per dump, written `{name}_{dump:05}` with
+      shape (1,1,1,1) (`main.rs:96-110`, `lib.rs:242-331`; empty by
+      default — the extension point the reference's commented-out Qk used).
+    - ``post_array_functions``: (psi, psi2, psik, psik2) -> array per dump,
+      written `{name}_{dump:05}` (`main.rs:133-146`; the reference left the
+      dump body as todo!(), `lib.rs:421-433` — implemented here).
+    - ``post_scalar_functions``: (dump, psi, psi2, psik, psik2) -> complex,
+      collected into a `{name}` time series (`main.rs:148-173`).
+    """
 
     array_functions: dict[str, ArrayFn] = field(default_factory=default_array_functions)
+    scalar_functions: dict[str, ScalarFn] = field(default_factory=dict)
+    post_array_functions: dict[str, PostArrayFn] = field(default_factory=dict)
     post_scalar_functions: dict[str, PostScalarFn] = field(default_factory=dict)
 
 
@@ -115,14 +135,24 @@ def analyze_sims(
     out_dir = combined_dir(sim_base)
 
     names = list(functions.array_functions)
+    scalar_names = list(functions.scalar_functions)
 
     @jax.jit
     def reduce_chunk(psi_chunk):
         psik_chunk = _unnormalized_fft(psi_chunk, dims)
-        return {
+        arrays = {
             name: jnp.sum(fn(psi_chunk, psik_chunk), axis=0)
             for name, fn in functions.array_functions.items()
         }
+        # per-stream scalar reductions, summed over the chunk
+        # (reference ScalarFunctions accumulation, lib.rs:242-262)
+        scalars = {
+            name: jnp.sum(
+                jax.vmap(fn)(psi_chunk, psik_chunk)
+            )
+            for name, fn in functions.scalar_functions.items()
+        }
+        return arrays, scalars
 
     own_writer = writer is None
     if own_writer:
@@ -130,6 +160,7 @@ def analyze_sims(
     try:
         for dump in dumps:
             totals = {name: None for name in names}
+            scalar_totals = {name: 0.0 + 0.0j for name in scalar_names}
             nsims = 0
             for lo in range(0, len(stream_dirs), stream_chunk):
                 batch_dirs = stream_dirs[lo : lo + stream_chunk]
@@ -139,12 +170,16 @@ def analyze_sims(
                     size = g.shape[0]
                     grids.append(g.reshape((size,) * dims))
                 psi_chunk = device_put_complex(np.stack(grids), dtype)
-                partial = reduce_chunk(psi_chunk)
+                partial, partial_scalars = reduce_chunk(psi_chunk)
                 for name in names:
                     totals[name] = (
                         partial[name]
                         if totals[name] is None
                         else totals[name] + partial[name]
+                    )
+                for name in scalar_names:
+                    scalar_totals[name] += complex(
+                        device_get_complex(partial_scalars[name])
                     )
                 nsims += len(batch_dirs)
             assert nsims > 0
@@ -154,38 +189,108 @@ def analyze_sims(
                 pad = (1,) * (4 - dims)
                 avg4 = avg.reshape((size,) * dims + pad)
                 writer.submit(os.path.join(out_dir, f"{name}_{dump:05d}"), avg4)
+            for name in scalar_names:
+                avg = np.asarray(scalar_totals[name] / nsims).reshape(1, 1, 1, 1)
+                writer.submit(os.path.join(out_dir, f"{name}_{dump:05d}"), avg)
         writer.wait()
     finally:
         if own_writer:
             writer.close()
 
 
-def post_combine(
-    functions: SynthesisFunctions,
-    sim_base: str,
-    dumps: Sequence[int],
-) -> dict[str, np.ndarray]:
-    """Evaluate post-combine scalars on combined fields and write series.
+def _eval_post_dumps(
+    functions: SynthesisFunctions, out_dir: str, dumps: Sequence[int]
+) -> dict[str, dict[int, complex]]:
+    """Evaluate post-combine functions on the combined fields of `dumps`.
 
-    Reference: `post_combine` (`synthesizer/src/lib.rs:351-609`). The output
-    series is shaped (n_dumps, 1, 1, 1) like the reference's non-MPI path
-    (`lib.rs:586-605`).
+    Post-array outputs are written immediately as `{name}_{dump:05d}`
+    (implementing the extension point the reference left as todo!(),
+    `lib.rs:421-433`); post-scalar values are returned per dump.
     """
-    out_dir = combined_dir(sim_base)
-    results: dict[str, list[complex]] = {n: [] for n in functions.post_scalar_functions}
+    results: dict[str, dict[int, complex]] = {
+        n: {} for n in functions.post_scalar_functions
+    }
     for dump in dumps:
         fields = {
             name: load_complex_pair(os.path.join(out_dir, f"{name}_{dump:05d}"))
             for name in ("psi", "psi2", "psik", "psik2")
         }
-        for name, fn in functions.post_scalar_functions.items():
-            results[name].append(
-                fn(dump, fields["psi"], fields["psi2"], fields["psik"], fields["psik2"])
+        args = (fields["psi"], fields["psi2"], fields["psik"], fields["psik2"])
+        for name, fn in functions.post_array_functions.items():
+            arr = np.asarray(fn(*args))
+            write_complex_pair(
+                os.path.join(out_dir, f"{name}_{dump:05d}"),
+                arr.reshape(arr.shape + (1,) * (4 - arr.ndim)),
             )
+        for name, fn in functions.post_scalar_functions.items():
+            results[name][dump] = complex(fn(dump, *args))
+    return results
+
+
+def _gather_scalar_series(
+    local: dict[int, complex], all_dumps: Sequence[int]
+) -> np.ndarray:
+    """Assemble the full (sorted-by-dump) series from per-process chunks.
+
+    Multi-process counterpart of the reference's MPI gather of
+    `Scalar{dump, re, im}` payloads with round-robin leaders
+    (`lib.rs:467-583`): every process contributes the dumps it owns and the
+    merged series is available on every process (allgather instead of a
+    gather-to-leader; the write still happens once, on process 0).
+    """
+    import jax
+
+    n = len(all_dumps)
+    index = {d: i for i, d in enumerate(all_dumps)}
+    if jax.process_count() == 1:
+        out = np.zeros(n, np.complex128)
+        for d, v in local.items():
+            out[index[d]] = v
+        return out
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros((n, 3))
+    for d, v in local.items():
+        buf[index[d]] = (v.real, v.imag, 1.0)
+    gathered = np.asarray(
+        multihost_utils.process_allgather(buf)
+    ).reshape(jax.process_count(), n, 3)
+    out = np.zeros(n, np.complex128)
+    seen = np.zeros(n, bool)
+    for pr in range(gathered.shape[0]):
+        owned = gathered[pr, :, 2] > 0.0
+        out[owned] = gathered[pr, owned, 0] + 1j * gathered[pr, owned, 1]
+        seen |= owned
+    assert seen.all(), "some dumps were produced by no process"
+    return out
+
+
+def post_combine(
+    functions: SynthesisFunctions,
+    sim_base: str,
+    dumps: Sequence[int],
+    all_dumps: Optional[Sequence[int]] = None,
+) -> dict[str, np.ndarray]:
+    """Evaluate post-combine functions on combined fields and write series.
+
+    Reference: `post_combine` (`synthesizer/src/lib.rs:351-609`). The output
+    series is shaped (n_dumps, 1, 1, 1) like the reference's non-MPI path
+    (`lib.rs:586-605`). With `all_dumps` set (multi-process mode), `dumps`
+    is this process's chunk: the scalar series is gathered across processes
+    (`lib.rs:467-583`) and written by process 0 only.
+    """
+    import jax
+
+    out_dir = combined_dir(sim_base)
+    results = _eval_post_dumps(functions, out_dir, dumps)
+    if all_dumps is None:
+        all_dumps = list(dumps)
     out = {}
-    for name, series in results.items():
-        arr = np.asarray(series, dtype=np.complex128).reshape(len(series), 1, 1, 1)
-        write_complex_pair(os.path.join(out_dir, name), arr)
+    write = jax.process_index() == 0
+    for name in sorted(results):
+        arr = _gather_scalar_series(results[name], all_dumps).reshape(-1, 1, 1, 1)
+        if write:
+            write_complex_pair(os.path.join(out_dir, name), arr)
         out[name] = arr
     return out
 
@@ -207,14 +312,21 @@ def synthesize_toml(
     stream_chunk: int = DEFAULT_STREAM_CHUNK,
     dump_range: Optional[tuple[int, int]] = None,
     multihost: bool = False,
+    functions: Optional[SynthesisFunctions] = None,
 ) -> dict[str, np.ndarray]:
     """Full synthesizer pipeline for a config (`synthesizer/src/main.rs:30-190`).
 
+    `functions` overrides the default registry (array psi/psi2/psik/psik2 +
+    the Qx post scalar) — the caller-registration shape of the reference's
+    `main.rs:61-187`.
+
     `dump_range=(lo, hi)` restricts analyze_sims to dumps lo..=hi (the
     cluster-parallel shape of the reference's per-dump SLURM jobs,
-    `gen_sbatch.py:6-51`); `multihost` splits the dump list by process
-    index instead (the Balancer's local_set, `balancer.rs:75-83`). Both
-    skip the Qx post-combine unless this invocation owns the full range.
+    `gen_sbatch.py:6-51`) and skips the Qx post-combine unless the range
+    covers every dump. `multihost` splits the dump list by process index
+    (the Balancer's local_set, `balancer.rs:75-83`) and then gathers the
+    post-combine scalar series across processes (`lib.rs:467-583`) — no
+    separate `--post-only` pass is needed.
     """
     all_dumps = list(range(toml.num_data_dumps + 1))
     dumps = all_dumps
@@ -226,11 +338,14 @@ def synthesize_toml(
 
         dumps = list(local_dump_range(all_dumps))
 
-    functions = SynthesisFunctions()
-    functions.post_scalar_functions["Qx"] = qx_post_scalar(volume_element(toml))
+    if functions is None:
+        functions = SynthesisFunctions()
+        functions.post_scalar_functions["Qx"] = qx_post_scalar(volume_element(toml))
 
     sim_base = os.path.join(data_root, toml.sim_name)
     analyze_sims(functions, sim_base, dumps, toml.dims, dtype, stream_chunk)
+    if multihost:
+        return post_combine(functions, sim_base, dumps, all_dumps=all_dumps)
     if dumps != all_dumps:
         return {}
     return post_combine(functions, sim_base, dumps)

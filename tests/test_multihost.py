@@ -60,6 +60,22 @@ simulator.run_config(
     toml, dtype=jnp.complex128, data_root=root, mesh="auto",
     online_synthesis=True,
 )
+
+# distributed offline synthesis: dumps split by process, post-combine
+# scalar series gathered across processes (lib.rs:467-583) — Qx must be
+# complete with NO separate --post-only pass
+import numpy as np
+from msm_tpu import synthesis
+from msm_tpu.io.npy import load_complex_pair
+online = load_complex_pair(root + "/mh-combined/Qx").copy()
+series = synthesis.synthesize_toml(
+    toml, data_root=root, dtype=jnp.complex128, multihost=True
+)
+assert "Qx" in series and series["Qx"].shape == (4, 1, 1, 1), series.keys()
+np.testing.assert_allclose(series["Qx"], online, atol=1e-10)
+if proc_id == 0:
+    offline = load_complex_pair(root + "/mh-combined/Qx")
+    np.testing.assert_allclose(offline, online, atol=1e-10)
 print(f"proc {proc_id} done", flush=True)
 """
 

@@ -171,3 +171,49 @@ def test_online_matches_offline(tmp_path):
     qa = load_complex_pair(os.path.join(root_on, "online-combined", "Qx"))
     qb = load_complex_pair(os.path.join(root_off, "online-combined", "Qx"))
     np.testing.assert_allclose(qa, qb, atol=1e-11)
+
+
+def test_scalar_and_post_array_registry(tmp_path, rng):
+    """Registry generality: per-stream SCALAR reductions (averaged over
+    streams, written (1,1,1,1) per dump — lib.rs:242-331, the commented-out
+    Qk extension point) and post-combine ARRAY functions (main.rs:133-146,
+    todo!() in the reference — implemented here)."""
+    size, n_streams, dumps = 8, 4, 1
+    root = str(tmp_path)
+    base = os.path.join(root, "reg")
+    fields = _make_stream_dumps(root, "reg", n_streams, dumps, size, rng)
+
+    fns = synthesis.SynthesisFunctions()
+    # Qk-style per-stream scalar: sum of psi over the grid
+    fns.scalar_functions["Qk"] = lambda psi, psik: jnp.sum(psi)
+    # post-combine array: the pointwise ensemble variance field
+    fns.post_array_functions["varx"] = (
+        lambda psi, psi2, psik, psik2: psi2 - psi * np.conj(psi)
+    )
+    fns.post_scalar_functions["Qx"] = synthesis.qx_post_scalar(dv=1.0)
+
+    synthesis.analyze_sims(
+        fns, base, range(dumps + 1), dims=2, dtype=jnp.complex128, stream_chunk=3
+    )
+    out_series = synthesis.post_combine(fns, base, range(dumps + 1))
+
+    out = base + "-combined"
+    for dump in range(dumps + 1):
+        streams = [fields[(s, dump)] for s in range(1, n_streams + 1)]
+        # scalar round trip: mean over streams of sum(psi)
+        expected_qk = np.mean([np.sum(s) for s in streams])
+        got_qk = load_complex_pair(os.path.join(out, f"Qk_{dump:05d}"))
+        assert got_qk.shape == (1, 1, 1, 1)
+        np.testing.assert_allclose(got_qk.ravel()[0], expected_qk, atol=1e-12)
+        # post-array round trip: <|psi|^2> - |<psi>|^2 field
+        mean_psi = np.mean(streams, axis=0)
+        mean_psi2 = np.mean([np.abs(s) ** 2 for s in streams], axis=0)
+        expected_var = mean_psi2 - np.abs(mean_psi) ** 2
+        got_var = load_complex_pair(os.path.join(out, f"varx_{dump:05d}")).reshape(
+            size, size
+        )
+        np.testing.assert_allclose(got_var.real, expected_var, atol=1e-12)
+        # Qx series consistent with the var field (dv = 1)
+        np.testing.assert_allclose(
+            out_series["Qx"][dump].ravel()[0], expected_var.sum(), atol=1e-12
+        )
