@@ -96,6 +96,24 @@ def mode_density_matrix(psi_streams, dims: int, n_modes: int = 64):
     return rho / trace.astype(rho.dtype), idx
 
 
+def subregion_density_matrix(psi_streams, dims: int, dv: float, mask):
+    """One-particle density matrix restricted to a spatial subregion.
+
+    The partial trace over the complement of `mask` (a boolean grid) in the
+    one-particle sector: rho_A = rho[A, A] renormalized to unit trace. With
+    the von Neumann entropy this gives the spatial entanglement profile the
+    deprecated stack computed by tracing grid modes out of the Fock state
+    (`python_deprecated/QUtils.py:19-183`; full Fock-space traces live in
+    `models/fock.py`).
+    """
+    mask_flat = np.asarray(mask).reshape(-1)
+    m = np.asarray(_flatten_streams(jnp.asarray(psi_streams), dims))[:, mask_flat]
+    s = m.shape[0]
+    rho = (m.T @ np.conj(m)) * (dv / s)
+    tr = np.trace(rho).real
+    return rho / tr
+
+
 def qk_measure(psi_streams, dims: int, dk: float) -> complex:
     """Qk = sum(<|psi_k|^2> - |<psi_k>|^2) dk^d over the ensemble."""
     psik = jnp.fft.fftn(psi_streams, axes=tuple(range(-dims, 0)), norm="ortho")
