@@ -150,10 +150,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sim.add_argument(
         "--mesh",
-        choices=("none", "auto"),
+        choices=("none", "auto", "space"),
         default="none",
-        help="auto: compile the ensemble over all visible devices "
-        "(stream data-parallel + spatial slabs)",
+        help="auto: compile the ensemble over all visible devices (stream "
+        "data-parallel + spatial pencils); space: force full spatial "
+        "decomposition of every grid (2-D pencil over all devices)",
     )
     sim.add_argument(
         "--ignore-remote-storage",

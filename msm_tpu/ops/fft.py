@@ -41,19 +41,28 @@ _MATMUL_MAX_SIZE = 256
 
 
 def set_default_mode(mode: str) -> None:
-    """Select the transform backend: 'auto', 'xla' or 'matmul'."""
-    assert mode in ("auto", "xla", "matmul")
+    """Select the transform backend: 'auto', 'xla', 'matmul' or 'mxu'."""
+    assert mode in ("auto", "xla", "matmul", "mxu")
     global _MODE
     _MODE = mode
 
 
 def _resolve(size: int) -> str:
+    from . import mxu_fft
+
+    if _MODE == "mxu":
+        return "mxu" if mxu_fft.supported(size) else "xla"
     if _MODE != "auto":
         return _MODE
     import jax
 
-    if jax.default_backend() in ("tpu", "axon") and size <= _MATMUL_MAX_SIZE:
-        return "matmul"
+    if jax.default_backend() in ("tpu", "axon"):
+        # the Pallas CT-matmul FFT owns every 128*R size; the full-DFT
+        # matmul remains for small odd sizes it cannot leaf
+        if mxu_fft.supported(size):
+            return "mxu"
+        if size <= _MATMUL_MAX_SIZE:
+            return "matmul"
     return "xla"
 
 
@@ -156,13 +165,23 @@ def _matmul_transform(psi: jnp.ndarray, dims: int, inverse: bool) -> jnp.ndarray
 
 def forward(psi: jnp.ndarray, dims: int) -> jnp.ndarray:
     """psi(x) -> psi(k), unitary normalization (fft.rs:6-30)."""
-    if _resolve(psi.shape[-1]) == "matmul":
+    mode = _resolve(psi.shape[-1])
+    if mode == "matmul":
         return _matmul_transform(psi, dims, inverse=False)
+    if mode == "mxu":
+        from . import mxu_fft
+
+        return mxu_fft.forward(psi, dims)
     return jnp.fft.fftn(psi, axes=_spatial_axes(dims), norm="ortho")
 
 
 def inverse(psik: jnp.ndarray, dims: int) -> jnp.ndarray:
     """psi(k) -> psi(x), unitary normalization (fft.rs:32-57)."""
-    if _resolve(psik.shape[-1]) == "matmul":
+    mode = _resolve(psik.shape[-1])
+    if mode == "matmul":
         return _matmul_transform(psik, dims, inverse=True)
+    if mode == "mxu":
+        from . import mxu_fft
+
+        return mxu_fft.inverse(psik, dims)
     return jnp.fft.ifftn(psik, axes=_spatial_axes(dims), norm="ortho")

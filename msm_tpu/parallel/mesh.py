@@ -27,35 +27,42 @@ from jax.sharding import Mesh
 
 STREAM_AXIS = "stream"
 SPACE_AXIS = "x"
+SPACE2_AXIS = "y"
 
 
-def _split_devices(n: int, max_space: int = 4) -> tuple[int, int]:
-    """Factor n devices into (stream, space) mesh dims.
+def _split_devices(n: int) -> tuple[int, int, int]:
+    """Factor n devices into (stream, x, y) mesh dims.
 
-    Space sharding is capped (FFT transposes cost bandwidth; streams are
-    free parallelism), preferring the largest power-of-two space dim <=
-    max_space that divides n.
+    Powers of two are dealt round-robin across (stream, x, y) — 8 devices
+    become the (2, 2, 2) pencil mesh, 4 become (2, 2, 1) — and any odd
+    remainder goes to the stream axis (free parallelism). There is no cap
+    on the space axes (the round-1 max_space=4 slab cap is gone): the 2-D
+    pencil scales to px*py devices.
     """
-    space = 1
-    while space * 2 <= max_space and n % (space * 2) == 0:
-        space *= 2
-    return n // space, space
+    dims = [1, 1, 1]
+    i = 0
+    while n % 2 == 0:
+        dims[i % 3] *= 2
+        n //= 2
+        i += 1
+    dims[0] *= n
+    return tuple(dims)
 
 
 def make_mesh(
     n_devices: Optional[int] = None,
     devices: Optional[Sequence] = None,
-    max_space: int = 4,
-) -> tuple[Mesh, tuple[str, str]]:
-    """Build a (stream, x) mesh over the available devices."""
+) -> tuple[Mesh, tuple[str, str, str]]:
+    """Build a (stream, x, y) mesh over the available devices."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
-    n_stream, n_space = _split_devices(n, max_space)
-    arr = np.asarray(devices).reshape(n_stream, n_space)
-    return Mesh(arr, (STREAM_AXIS, SPACE_AXIS)), (STREAM_AXIS, SPACE_AXIS)
+    shape = _split_devices(n)
+    names = (STREAM_AXIS, SPACE_AXIS, SPACE2_AXIS)
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, names), names
 
 
 def local_dump_range(dumps: Sequence[int]) -> Sequence[int]:
@@ -87,6 +94,27 @@ def addressable_batch_indices(arr) -> Sequence[int]:
         else:
             idx.add(int(sl))
     return sorted(idx)
+
+
+def write_owner_indices(arr) -> Sequence[int]:
+    """Leading-axis indices this process should WRITE.
+
+    When grids are replicated over space axes (after
+    `MeshStepper.gather_spatial`) several processes may hold the same
+    stream; ownership goes to the lowest process index holding it, so each
+    dump is written exactly once across the job.
+    """
+    n = arr.shape[0]
+    owners: dict[int, int] = {}
+    for dev, idx in arr.sharding.devices_indices_map(arr.shape).items():
+        sl = idx[0]
+        rng = range(*sl.indices(n)) if isinstance(sl, slice) else [int(sl)]
+        for i in rng:
+            p = dev.process_index
+            if i not in owners or p < owners[i]:
+                owners[i] = p
+    me = jax.process_index()
+    return sorted(i for i, p in owners.items() if p == me)
 
 
 def fetch_batch_slices(arr, indices: Sequence[int]):

@@ -44,6 +44,45 @@ def _pos(axis: int, ndim: int) -> int:
     return axis % ndim
 
 
+def fftn_pencil(x: jnp.ndarray, dims: int, axis_names: tuple) -> jnp.ndarray:
+    """Forward ortho FFT over a 2-D pencil decomposition (3-D grids).
+
+    Input layout  (.., Z/px, Y/py, X)  — real-space pencil
+    Output layout (.., Z, Y/px, X/py) — transposed k-space pencil
+
+    Stages: local FFT over X -> all_to_all over `py` (split X, gather Y) ->
+    local FFT over Y -> all_to_all over `px` (split Y, gather Z) -> local
+    FFT over Z. Two all_to_alls per transform; the inverse runs the mirror,
+    so a full F -> elementwise -> F^-1 round trip costs four — the pencil
+    analogue of the slab layout convention above. Scales to px*py devices
+    (vs `size` for a slab) with per-stage message sizes N^3/(px*py).
+    """
+    px, py = axis_names
+    nd = x.ndim
+    assert dims == 3, "pencil decomposition is defined for 3-D grids"
+    zax, yax, xax = nd - 3, nd - 2, nd - 1
+    x = jnp.fft.fft(x, axis=xax, norm="ortho")
+    x = lax.all_to_all(x, py, split_axis=xax, concat_axis=yax, tiled=True)
+    x = jnp.fft.fft(x, axis=yax, norm="ortho")
+    x = lax.all_to_all(x, px, split_axis=yax, concat_axis=zax, tiled=True)
+    x = jnp.fft.fft(x, axis=zax, norm="ortho")
+    return x
+
+
+def ifftn_pencil(xk: jnp.ndarray, dims: int, axis_names: tuple) -> jnp.ndarray:
+    """Inverse ortho FFT: transposed k-pencil in, real-space pencil out."""
+    px, py = axis_names
+    nd = xk.ndim
+    assert dims == 3, "pencil decomposition is defined for 3-D grids"
+    zax, yax, xax = nd - 3, nd - 2, nd - 1
+    x = jnp.fft.ifft(xk, axis=zax, norm="ortho")
+    x = lax.all_to_all(x, px, split_axis=zax, concat_axis=yax, tiled=True)
+    x = jnp.fft.ifft(x, axis=yax, norm="ortho")
+    x = lax.all_to_all(x, py, split_axis=yax, concat_axis=xax, tiled=True)
+    x = jnp.fft.ifft(x, axis=xax, norm="ortho")
+    return x
+
+
 def fftn_sharded(x: jnp.ndarray, dims: int, axis_name: str) -> jnp.ndarray:
     """Forward ortho FFT: canonical-sharded in, transposed-sharded out."""
     assert dims >= 2, "1-D grids cannot be spatially sharded"

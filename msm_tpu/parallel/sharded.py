@@ -48,34 +48,61 @@ class MeshStepper:
         dtype=jnp.complex64,
         shard_space: Optional[bool] = None,
         dt_mode: str = "exact",
+        debug_checks: bool = False,
     ):
         self.params = params
         self.mesh = mesh
-        n_space = mesh.shape[SPACE_AXIS]
+        # Space axes: every mesh axis except the stream axis, kept in mesh
+        # order; only axes of extent > 1 shard anything. One active axis is
+        # a slab; two (3-D grids) is the 2-D pencil (parallel/pfft).
+        space_names = [n for n in mesh.axis_names if n != STREAM_AXIS]
+        active = [n for n in space_names if mesh.shape[n] > 1]
         if shard_space is None:
-            shard_space = n_space > 1 and params.dims >= 2
+            shard_space = bool(active) and params.dims >= 2
         if shard_space and params.dims < 2:
             raise ValueError("1-D grids cannot be spatially sharded")
-        if shard_space and params.size % n_space != 0:
-            raise ValueError(
-                f"grid size {params.size} not divisible by space axis {n_space}"
-            )
+        if shard_space and not active:
+            raise ValueError("shard_space=True but every space axis has size 1")
+        if shard_space:
+            for name in active:
+                if params.size % mesh.shape[name] != 0:
+                    raise ValueError(
+                        f"grid size {params.size} not divisible by mesh axis "
+                        f"{name}={mesh.shape[name]}"
+                    )
+            if len(active) > 2 or (len(active) == 2 and params.dims < 3):
+                raise ValueError(
+                    "pencil decomposition needs a 3-D grid and at most two "
+                    f"space axes; got dims={params.dims}, axes={active}"
+                )
         self.shard_space = shard_space
+        pencil = shard_space and len(active) == 2
+        self.space_axes = tuple(active) if shard_space else ()
 
         self.stepper = Stepper(
             params,
             dtype,
-            spatial_axis=SPACE_AXIS if shard_space else None,
+            spatial_axis=(
+                (tuple(active) if pencil else active[0]) if shard_space else None
+            ),
             dt_mode=dt_mode,
+            debug_checks=debug_checks,
         )
 
         dims = params.dims
         nones = (None,) * (dims - 1)
-        if shard_space:
-            self.psi_spec = P(STREAM_AXIS, SPACE_AXIS, *nones)
-            # transposed pencil layout: k-space sharded on the second axis
-            self.psik_spec = P(STREAM_AXIS, None, SPACE_AXIS, *nones[1:])
-            kspec = P(None, SPACE_AXIS, *nones[1:])
+        if pencil:
+            ax0, ax1 = active
+            # real space (Z/px, Y/py, X); k space (Z, Y/px, X/py)
+            self.psi_spec = P(STREAM_AXIS, ax0, ax1, None)
+            self.psik_spec = P(STREAM_AXIS, None, ax0, ax1)
+            kspec = P(None, ax0, ax1)
+        elif shard_space:
+            ax0 = active[0]
+            self.psi_spec = P(STREAM_AXIS, ax0, *nones)
+            # transposed slab layout: k-space sharded on the second axis
+            self.psik_spec = P(STREAM_AXIS, None, ax0, *nones[1:])
+            kspec = P(None, ax0, *nones[1:])
         else:
             self.psi_spec = P(STREAM_AXIS, *((None,) * dims))
             self.psik_spec = self.psi_spec
@@ -94,6 +121,9 @@ class MeshStepper:
             aliased=self.scalar_spec,
             alias_mass=self.scalar_spec,
             phi_max=self.scalar_spec,
+            norm0=self.scalar_spec,
+            max_norm_err=self.scalar_spec,
+            pending_k=self.scalar_spec,
         )
         self.consts_specs = StepConsts(
             spec_grid=kspec, alias_mask=kspec, tau_dumps=P(), spec_grid_r=P()
@@ -193,6 +223,22 @@ class MeshStepper:
         from ..utils.transfer import device_get_complex
 
         return device_get_complex(state.psi)
+
+    def gather_spatial(self, arr):
+        """Reshard (streams, *grid) to stream-only sharding.
+
+        Space axes become replicated, so every process holds WHOLE grids
+        for the streams on its devices — the dump/combine path for grids
+        that span hosts (one all_gather over the space axes, at dump
+        cadence only). No-op without spatial sharding.
+        """
+        if not self.shard_space:
+            return arr
+        import jax as _jax
+
+        spec = P(STREAM_AXIS, *((None,) * self.params.dims))
+        sharding = NamedSharding(self.mesh, spec)
+        return _jax.jit(lambda a: a, out_shardings=sharding)(arr)
 
     def evolve_to_next_dump(self, state: SimState, batched: bool = True) -> SimState:
         return self._evolve(state, self.consts)

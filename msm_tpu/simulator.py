@@ -142,7 +142,9 @@ class _EnsembleHostView:
     ownership follows data ownership, so no cross-host field traffic.
     """
 
-    def __init__(self, state: SimState, n: int, fetch_psi: bool = True):
+    def __init__(
+        self, state: SimState, n: int, fetch_psi: bool = True, stepper=None
+    ):
         self.n = n
         self.multihost = jax.process_count() > 1
         self.state = state
@@ -152,7 +154,7 @@ class _EnsembleHostView:
             return
         from jax.experimental import multihost_utils
 
-        from .parallel.mesh import addressable_batch_indices, fetch_batch_slices
+        from .parallel.mesh import fetch_batch_slices, write_owner_indices
 
         def gather(x):
             return multihost_utils.process_allgather(x, tiled=True)
@@ -168,11 +170,18 @@ class _EnsembleHostView:
                 "just_dumped",
                 "aliased",
                 "alias_mass",
+                "max_norm_err",
             )
         }
-        self.owned = addressable_batch_indices(state.psi)
+        # grids that span hosts are gathered to stream-only sharding first
+        # (space axes replicated), then each stream is written by exactly
+        # one process; indices >= n are internal padding rows, never dumped
+        psi_src = state.psi
+        if fetch_psi and getattr(stepper, "shard_space", False):
+            psi_src = stepper.gather_spatial(state.psi)
+        self.owned = [i for i in write_owner_indices(psi_src) if i < n]
         self._psi = (
-            fetch_batch_slices(state.psi, self.owned) if fetch_psi else None
+            fetch_batch_slices(psi_src, self.owned) if fetch_psi else None
         )
 
     def scalar(self, name: str) -> np.ndarray:
@@ -198,10 +207,11 @@ class _EnsembleHostView:
         }
 
 
-def _try_resume_batch(runs, stepper: Stepper, data_root: str):
+def _try_resume_batch(runs, stepper: Stepper, data_root: str, pad_to: int):
     """Rebuild a batched SimState from per-run manifests + last psi dumps.
 
     Returns None when any run lacks a usable checkpoint (fresh start).
+    Padding rows (mesh=auto layouts) are copies of the last (MFT) run.
     """
     manifests = []
     for r in runs:
@@ -216,6 +226,8 @@ def _try_resume_batch(runs, stepper: Stepper, data_root: str):
     for r, m in zip(runs, manifests):
         base = r.psi_base(m["current_dumps"])
         psis.append(load_complex_pair(base).reshape(r.params.shape))
+    psis += [psis[-1]] * (pad_to - len(runs))
+    manifests += [manifests[-1]] * (pad_to - len(runs))
     state = stepper.init_state(np.stack(psis), batched=True)
 
     def arr(key, dtype):
@@ -262,51 +274,95 @@ def _report_aliasing(params: SimulationParameters, mass: float, strict: bool):
     log.error("%s", err)
 
 
-def _make_stepper(params, dtype, dt_mode: str, mesh: str, n_runs: int):
+def _make_stepper(
+    params, dtype, dt_mode: str, mesh: str, n_runs: int, debug_checks: bool = False
+):
     """Pick the execution engine for the batched ensemble.
 
     mesh="auto" compiles the run over all visible devices via MeshStepper
     (stream axis when the run count divides it, otherwise spatial slabs);
     mesh="none" (default) stays single-device like the reference.
+
+    Returns (stepper, pad_to): when no layout divides the run count, the
+    stream batch is padded internally to `pad_to` rows (extra rows are
+    copies of the MFT whose dumps are discarded) instead of pushing a
+    "pad the seed list" error onto the user.
     """
     if mesh == "none" or len(jax.devices()) <= 1:
-        return Stepper(params, dtype, dt_mode=dt_mode)
+        return Stepper(params, dtype, dt_mode=dt_mode, debug_checks=debug_checks), n_runs
     from .parallel.sharded import MeshStepper
 
     n_dev = len(jax.devices())
-    # prefer stream-axis data parallelism when the run count divides evenly
-    best = None
-    for n_stream in range(min(n_dev, n_runs), 0, -1):
-        if n_runs % n_stream == 0 and n_dev % n_stream == 0:
-            n_space = n_dev // n_stream
-            if n_space == 1 or (params.dims >= 2 and params.size % n_space == 0):
+    n_proc = jax.process_count()
+    best, pad_to = None, n_runs
+    if mesh == "space":
+        # forced spatial decomposition: every device shards the grid, the
+        # stream batch rides unsharded on a size-1 stream axis
+        if params.dims >= 2:
+            best = (1, n_dev)
+    else:
+        # prefer stream-axis data parallelism when the run count divides
+        # evenly; prefer whole streams per process, but fall back to
+        # cross-host grids (the dump path gathers over space axes)
+        for whole_streams in (True, False) if n_proc > 1 else (True,):
+            for n_stream in range(min(n_dev, n_runs), 0, -1):
+                if n_runs % n_stream == 0 and n_dev % n_stream == 0:
+                    n_space = n_dev // n_stream
+                    if n_space == 1 or (
+                        params.dims >= 2 and params.size % n_space == 0
+                    ):
+                        if whole_streams and n_proc > 1 and n_stream % n_proc:
+                            continue
+                        best = (n_stream, n_space)
+                        break
+            if best is not None:
+                break
+        if best is None:
+            # pad the batch up to the next multiple of a workable stream axis
+            for n_stream in range(min(n_dev, n_runs + n_dev), 0, -1):
+                if n_dev % n_stream:
+                    continue
+                n_space = n_dev // n_stream
+                if n_space > 1 and (params.dims < 2 or params.size % n_space):
+                    continue
                 best = (n_stream, n_space)
+                pad_to = -(-n_runs // n_stream) * n_stream
                 break
     if best is None:
-        if jax.process_count() > 1:
-            raise ValueError(
-                f"mesh=auto: cannot lay out {n_runs} runs over "
-                f"{n_dev} devices across {jax.process_count()} processes; "
-                "pad the seed list so run count and device count share a "
-                "divisor"
-            )
-        log.warning("mesh=auto: no divisible layout; running single-device")
-        return Stepper(params, dtype, dt_mode=dt_mode)
-    if jax.process_count() > 1 and best[0] % jax.process_count() != 0:
-        raise ValueError(
-            "mesh=auto: multi-host runs need whole streams per process "
-            f"(stream axis {best[0]} over {jax.process_count()} processes); "
-            "pad the seed list"
-        )
+        log.warning("mesh=auto: no workable layout; running single-device")
+        return Stepper(params, dtype, dt_mode=dt_mode, debug_checks=debug_checks), n_runs
     import numpy as _np
     from jax.sharding import Mesh
 
-    from .parallel.mesh import SPACE_AXIS, STREAM_AXIS
+    from .parallel.mesh import SPACE2_AXIS, SPACE_AXIS, STREAM_AXIS
 
-    devs = _np.asarray(jax.devices()).reshape(best)
-    m = Mesh(devs, (STREAM_AXIS, SPACE_AXIS))
-    log.info("mesh=auto: (stream=%d, x=%d) over %d devices", *best, n_dev)
-    return MeshStepper(params, m, dtype, dt_mode=dt_mode)
+    # Split the space factor into a 2-D pencil (px, py) when the grid is
+    # 3-D: px >= py, both dividing the grid size. py == 1 degenerates to a
+    # slab. A pencil scales to px*py devices (vs `size` for a slab) and
+    # quarters the per-stage all_to_all message size.
+    n_stream, n_space = best
+    px, py = n_space, 1
+    if params.dims == 3:
+        for cand in range(int(n_space**0.5), 0, -1):
+            if n_space % cand == 0 and params.size % cand == 0 and params.size % (
+                n_space // cand
+            ) == 0:
+                px, py = n_space // cand, cand
+                break
+    devs = _np.asarray(jax.devices()).reshape(n_stream, px, py)
+    m = Mesh(devs, (STREAM_AXIS, SPACE_AXIS, SPACE2_AXIS))
+    log.info(
+        "mesh=auto: (stream=%d, x=%d, y=%d) over %d devices%s",
+        n_stream,
+        px,
+        py,
+        n_dev,
+        f", batch padded {n_runs}->{pad_to}" if pad_to != n_runs else "",
+    )
+    return (
+        MeshStepper(params, m, dtype, dt_mode=dt_mode, debug_checks=debug_checks),
+        pad_to,
+    )
 
 
 def run_single(
@@ -442,7 +498,9 @@ def run_config(
     backend = (
         storage_backend_for(toml, data_root) if use_remote_storage else None
     )
-    if not batch_streams or len(all_params) == 1:
+    # a single run stays on the reference-like sequential path unless a
+    # device mesh was requested (mesh="space" shards even one run's grid)
+    if not batch_streams or (len(all_params) == 1 and mesh == "none"):
         states = []
         try:
             with AsyncGridWriter() as writer:
@@ -470,10 +528,14 @@ def run_config(
     # ---------------- batched ensemble path ----------------
     mft_params = all_params[-1]
     stream_params = all_params[:-1]
-    stepper = _make_stepper(mft_params, dtype, dt_mode, mesh, len(all_params))
+    stepper, pad_to = _make_stepper(
+        mft_params, dtype, dt_mode, mesh, len(all_params), debug_checks=debug_checks
+    )
     runs = [SimulationRun(p, data_root, backend=backend) for p in all_params]
 
-    resumed_state = _try_resume_batch(runs, stepper, data_root) if resume else None
+    resumed_state = (
+        _try_resume_batch(runs, stepper, data_root, pad_to) if resume else None
+    )
     if resumed_state is not None:
         state = resumed_state
         if verbose:
@@ -484,17 +546,32 @@ def run_config(
     else:
         resume = False
         base_psi = device_put_complex(build_ics(mft_params), dtype)
-        seeds = jnp.asarray([p.sampling.seed for p in stream_params], jnp.uint32)
-        scheme = stream_params[0].sampling.scheme
-        sampled = sample_stream_batch(base_psi, mft_params, seeds, scheme)
-        psi_batch = jax.jit(lambda a, b: jnp.concatenate([a, b[None]], axis=0))(
-            sampled, base_psi
-        )
-        state = stepper.init_state(psi_batch, batched=True)
+        if stream_params:
+            seeds = jnp.asarray(
+                [p.sampling.seed for p in stream_params], jnp.uint32
+            )
+            scheme = stream_params[0].sampling.scheme
+            sampled = sample_stream_batch(base_psi, mft_params, seeds, scheme)
+        else:  # MFT-only config on a device mesh (mesh="space")
+            sampled = jnp.zeros((0,) + base_psi.shape, base_psi.dtype)
+        n_pad = pad_to - len(all_params)
+
+        @jax.jit
+        def assemble(streams, base):
+            # streams + MFT (+ MFT copies padding the batch to the mesh)
+            return jnp.concatenate(
+                [streams, jnp.broadcast_to(base[None], (1 + n_pad,) + base.shape)],
+                axis=0,
+            )
+
+        state = stepper.init_state(assemble(sampled, base_psi), batched=True)
 
     if verbose and not resume:
+        scheme_txt = (
+            f"{stream_params[0].sampling.scheme} " if stream_params else ""
+        )
         print(
-            f"Running {len(stream_params)} {stream_params[0].sampling.scheme} "
+            f"Running {len(stream_params)} {scheme_txt}"
             f"streams + MFT as one batch of {len(all_params)}"
         )
     if test_only:
@@ -503,11 +580,13 @@ def run_config(
     n = len(all_params)
     reported_alias = [False] * n
     t_start = _time.monotonic()
-    from .utils.profiling import ProgressReporter, profiler_trace
+    from .utils.profiling import ProgressReporter, StepTimer, profiler_trace
 
     progress = ProgressReporter(
         total_dumps=toml.num_data_dumps, sim_name=toml.sim_name, enabled=verbose
     )
+    timer = StepTimer(cells_per_step=n * toml.size**toml.dims)
+    timer.start()
     with AsyncGridWriter() as writer, profiler_trace(profile_dir):
         for r in runs:
             r.writer = writer
@@ -527,9 +606,15 @@ def run_config(
             # 0 writes the combined files.
             if combiner is None or not valid_streams[:-1].any():
                 return
-            weights = valid_streams.copy()
-            weights[-1] = False
-            combiner.on_dump(state.psi, weights, dump_idx, write=process0)
+            weights = np.zeros(state.psi.shape[0], bool)
+            weights[: len(valid_streams)] = valid_streams
+            weights[len(valid_streams) - 1] = False  # MFT never averaged
+            psi_dev = state.psi
+            if jax.process_count() > 1 and getattr(stepper, "shard_space", False):
+                # replicate grids over space axes so the combined outputs
+                # are fully addressable on the writing process
+                psi_dev = stepper.gather_spatial(state.psi)
+            combiner.on_dump(psi_dev, weights, dump_idx, write=process0)
 
         def dump_potentials(mask: np.ndarray, dumps_idx: np.ndarray, owned):
             """Dump phi for runs with output_potential (simulation_object.rs:1166-1180)."""
@@ -539,6 +624,8 @@ def run_config(
             if jax.process_count() > 1:
                 from .parallel.mesh import fetch_batch_slices
 
+                if getattr(stepper, "shard_space", False):
+                    pot = stepper.gather_spatial(pot)
                 pots = fetch_batch_slices(pot, list(owned))
             else:
                 pot_np = np.asarray(pot)
@@ -550,20 +637,22 @@ def run_config(
                     runs[i].dump_field(arr.astype(cdtype), int(dumps_idx[i]), "potential")
 
         if not resume:
-            view = _EnsembleHostView(state, n)
+            view = _EnsembleHostView(state, n, stepper=stepper)
             for i in view.owned:
                 runs[i].dump_field(view.psi(i), 0)
                 runs[i].write_manifest(view.run_scalars(i))
             dump_potentials(np.ones(n, bool), np.zeros(n, int), view.owned)
             combine_dump(np.ones(n, bool), 0)
 
+        total_steps = 0
         while stepper.not_finished(state):
             state = stepper.evolve_to_next_dump(state, batched=True)
             pre_view = _EnsembleHostView(state, n, fetch_psi=False)
+            total_steps = int(np.asarray(pre_view.scalar("n_steps")).max())
             aliased = pre_view.scalar("aliased")
             just_dumped = pre_view.scalar("just_dumped")
             state = stepper.snap_after_dump(state)
-            view = _EnsembleHostView(state, n)
+            view = _EnsembleHostView(state, n, stepper=stepper)
             dumps_np = view.scalar("current_dumps")
             for i in view.owned:
                 r = runs[i]
@@ -582,6 +671,13 @@ def run_config(
                         _debug_validate(
                             view.psi(i), all_params[i], f"{r.params.sim_name} dump"
                         )
+                        err = float(view.scalar("max_norm_err")[i])
+                        if not err < 1e-3:
+                            raise FloatingPointError(
+                                f"in-step unitarity violation in "
+                                f"{r.params.sim_name}: max |norm/norm0 - 1| "
+                                f"= {err:.3g} during the last dump interval"
+                            )
                     r.dump_field(view.psi(i), int(dumps_np[i]))
                     scalars = view.run_scalars(i)
                     scalars["wall_time_ms"] = (_time.monotonic() - t_start) * 1e3
@@ -598,6 +694,9 @@ def run_config(
                 progress.update(done, sim_time=float(view.scalar("time").min()))
         if combiner is not None and process0:
             combiner.finalize()
+        timer.stop(n_steps=total_steps)
+        if verbose:
+            print(timer.summary(), flush=True)
         progress.finish()
     if backend is not None:
         backend.close()

@@ -67,6 +67,9 @@ class SimState:
     aliased: jax.Array  # bool: Fourier aliasing detected (stream is frozen)
     alias_mass: jax.Array
     phi_max: jax.Array  # max|phi| at the last mid-drift (lagged-dt mode)
+    norm0: jax.Array  # initial sum|psik|^2 dk^d (debug-checks reference)
+    max_norm_err: jax.Array  # running max |norm/norm0 - 1| (inf on NaN)
+    pending_k: jax.Array  # lagged mode: true psik = exp(i pending_k k^2) psik
 
 
 @jax.tree_util.register_dataclass
@@ -99,9 +102,18 @@ class Stepper:
         self,
         params: SimulationParameters,
         dtype=jnp.complex64,
-        spatial_axis: str | None = None,
+        spatial_axis: "str | tuple[str, ...] | None" = None,
         dt_mode: str = "exact",
+        debug_checks: bool = False,
     ):
+        # spatial_axis: one mesh-axis name (slab decomposition) or a tuple
+        # of two (2-D pencil, 3-D grids only; parallel/pfft.fftn_pencil).
+        # debug_checks: carry a per-STEP unitarity/finiteness monitor inside
+        # the jitted loop (the reference's debug_assert!(check_norm..) after
+        # every substep, simulation_object.rs:485-529, as a runtime flag).
+        # Catches mid-interval blowups the dump-boundary checks would see
+        # one dump late. Costs one spatial reduction per step.
+        self.debug_checks = debug_checks
         self.params = params
         self.dtype = jnp.dtype(dtype)
         self.rdtype = jnp.finfo(self.dtype).dtype
@@ -117,12 +129,27 @@ class Stepper:
         # remains enforced against a potential at most one step stale.
         assert dt_mode in ("exact", "lagged")
         self.dt_mode = dt_mode
+        # MXU-FFT engine path: k-space lives in the per-axis residue-major
+        # "engine order" (ops/mxu_fft.py docstring) so the Pallas CT-matmul
+        # transforms never shuffle data; the k^2 constants below are
+        # permuted to match. All k-space work in the step is elementwise,
+        # so nothing else changes. Single-device path only.
+        from .ops import fft as fft_ops
+        from .ops import mxu_fft
+
+        self.use_mxu = (
+            spatial_axis is None
+            and fft_ops.get_mode(params.size) == "mxu"
+            and mxu_fft.supported(params.size)
+        )
         # Fused Pallas kernels synthesize the k-grid from indices in-register
         # (no spec_grid HBM reads); single-device path only — the sharded
-        # path's local blocks see shard-local indices.
+        # path's local blocks see shard-local indices. Off under the MXU
+        # engine layout (their index-synthesized k^2 assumes natural order).
         self.use_pallas = (
             phase_ops.pallas_enabled()
             and spatial_axis is None
+            and not self.use_mxu
             and pk.eligible((params.size,) * params.dims, params.dims)
         )
 
@@ -131,6 +158,9 @@ class Stepper:
         self.k2_max = float(spec.max())
         # Static alias mask: modes with k^2 > k2_cutoff * k2_max.
         mask = (spec > p.k2_cutoff * self.k2_max).astype(np.float64)
+        if self.use_mxu:
+            spec = mxu_fft.permute_spec(spec, p.dims)
+            mask = mxu_fft.permute_spec(mask, p.dims)
 
         # Dump schedule: t_dump[i] = t0 + i * T / num_dumps. The reference
         # mis-schedules dumps when `time != 0` (its "TODO: fix for
@@ -213,12 +243,27 @@ class Stepper:
             out = jax.lax.psum(out, self.spatial_axis)
         return out
 
+    @property
+    def _pencil(self) -> bool:
+        return isinstance(self.spatial_axis, tuple) and len(self.spatial_axis) > 1
+
+    @property
+    def _slab_axis(self) -> str:
+        ax = self.spatial_axis
+        return ax[0] if isinstance(ax, tuple) else ax
+
     def _fwd(self, x):
         """Forward ortho FFT (canonical -> k layout)."""
         if self.spatial_axis is not None:
             from .parallel import pfft
 
-            return pfft.fftn_sharded(x, self.params.dims, self.spatial_axis)
+            if self._pencil:
+                return pfft.fftn_pencil(x, self.params.dims, self.spatial_axis)
+            return pfft.fftn_sharded(x, self.params.dims, self._slab_axis)
+        if self.use_mxu:
+            from .ops import mxu_fft
+
+            return mxu_fft.forward_engine(x, self.params.dims)
         from .ops import fft as fft_ops
 
         return fft_ops.forward(x, self.params.dims)
@@ -228,7 +273,13 @@ class Stepper:
         if self.spatial_axis is not None:
             from .parallel import pfft
 
-            return pfft.ifftn_sharded(xk, self.params.dims, self.spatial_axis)
+            if self._pencil:
+                return pfft.ifftn_pencil(xk, self.params.dims, self.spatial_axis)
+            return pfft.ifftn_sharded(xk, self.params.dims, self._slab_axis)
+        if self.use_mxu:
+            from .ops import mxu_fft
+
+            return mxu_fft.inverse_engine(xk, self.params.dims)
         from .ops import fft as fft_ops
 
         return fft_ops.inverse(xk, self.params.dims)
@@ -342,7 +393,25 @@ class Stepper:
             phi_max=self._spatial_max(jnp.abs(self._potential(psi, consts))).astype(
                 self.tdtype
             ),
+            norm0=self._norm_measure(psik),
+            max_norm_err=scalars(jnp.zeros((), self.rdtype)),
+            pending_k=scalars(jnp.zeros((), self.rdtype)),
         )
+
+    def _norm_measure(self, psik):
+        """sum|psik|^2 dk^d — equals the real-space norm (ortho + dk = dx)."""
+        return self._spatial_sum(jnp.real(psik * jnp.conj(psik))) * jnp.asarray(
+            self.params.dk**self.params.dims, self.rdtype
+        )
+
+    def _track_norm(self, state: SimState, psik):
+        """Update the running unitarity monitor (debug-checks mode only)."""
+        if not self.debug_checks:
+            return state.max_norm_err
+        nrm = self._norm_measure(psik)
+        err = jnp.abs(nrm / state.norm0 - 1.0)
+        err = jnp.where(jnp.isfinite(err), err, jnp.inf)
+        return jnp.maximum(state.max_norm_err, err.astype(state.max_norm_err.dtype))
 
     # ------------------------------------------------------------------
     # Physics pieces
@@ -425,21 +494,33 @@ class Stepper:
         mass = self._spatial_sum(jnp.real(psik * jnp.conj(psik)) * consts.alias_mask)
         return mass * jnp.asarray(p.dk**p.dims, self.rdtype)
 
-    def _lazy_inv(self, psik, psi_old, is_dump):
-        """End-of-step psi materialization.
+    def _finalize_step(self, psik, psi_old, is_dump, kcoeff, consts):
+        """End-of-step half-kick + psi materialization -> (psi, psik, pending).
 
-        In exact mode psi is needed immediately (the next step's dt
-        potential reads it), so invert unconditionally. In lagged mode psi
-        is consumed only at dump boundaries — skip the inverse FFT on
-        non-dump steps (~one transform in four). Invariant: with
-        dt_mode="lagged", state.psi is fresh only when just_dumped (always
-        true at evolve_to_next_dump exits, where dumps are read).
+        Exact mode: apply the closing kinetic half-kick and invert (the
+        reference's :562-581). Lagged mode fuses the closing half-kick of
+        step i with the opening half-kick of step i+1 (they are adjacent
+        elementwise k-space multiplies — no FFT between them): on non-dump
+        steps the kick is DEFERRED by storing its coefficient in
+        `pending_k` (one fewer full-grid pass per step; |psik| — alias
+        mass, norms — is phase-invariant so monitors are unaffected). At
+        dump boundaries the pending kick is applied and psi materialized,
+        so states leaving the evolve loop are always fully consistent.
+        Trajectories equal the unfused ones to rounding (exp(i(a+b)k^2)
+        vs two successive phase multiplies).
         """
         if self.dt_mode == "exact":
-            return self._inv(psik)
-        return jax.lax.cond(
-            jnp.any(is_dump), self._inv, lambda _pk: psi_old, psik
-        )
+            psik = self._apply_kinetic(psik, kcoeff, consts)
+            return self._inv(psik), psik, jnp.zeros_like(kcoeff)
+
+        def materialize(pk):
+            pk = self._apply_kinetic(pk, kcoeff, consts)
+            return self._inv(pk), pk, jnp.zeros_like(kcoeff)
+
+        def defer(pk):
+            return psi_old, pk, kcoeff
+
+        return jax.lax.cond(jnp.any(is_dump), materialize, defer, psik)
 
     # ------------------------------------------------------------------
     # One KDK step (batch-generic)
@@ -463,17 +544,19 @@ class Stepper:
         kcoeff = (-dt / 4.0 * hbar_).astype(self.rdtype)
         vcoeff = (-dt / hbar_).astype(self.rdtype)
 
-        # Half kick in k-space: exp(-i * dt/4 * hbar_ * k^2) (:504-516)
-        psik = self._apply_kinetic(state.psik, kcoeff, consts)
+        # Half kick in k-space: exp(-i * dt/4 * hbar_ * k^2) (:504-516),
+        # merged with any half-kick deferred by the previous step (lagged)
+        psik = self._apply_kinetic(state.psik, state.pending_k + kcoeff, consts)
         psi = self._inv(psik)
         # Full potential kick at the half-step: exp(-i * dt/hbar_ * phi) (:530-545)
         phi = self._potential(psi, consts)
         phi_max = self._spatial_max(jnp.abs(phi)).astype(self.tdtype)
         psi = self._apply_potential(psi, phi, vcoeff)
         psik = self._fwd(psi)
-        # Second half kick (:562-574)
-        psik = self._apply_kinetic(psik, kcoeff, consts)
-        psi = self._lazy_inv(psik, state.psi, is_dump)
+        # Second half kick (:562-574), deferred on lagged non-dump steps
+        psi, psik, pending = self._finalize_step(
+            psik, state.psi, is_dump, kcoeff, consts
+        )
 
         time = state.time + dt
         alias_mass = self._alias_mass(psik, consts)
@@ -489,6 +572,8 @@ class Stepper:
             aliased=aliased,
             alias_mass=alias_mass,
             phi_max=phi_max,
+            max_norm_err=self._track_norm(state, psik),
+            pending_k=pending,
         )
 
     def _step_expanding(self, state: SimState, consts: StepConsts) -> SimState:
@@ -508,7 +593,7 @@ class Stepper:
             dtau, is_dump = self._timestep(None, state, consts)
         kcoeff = (-dtau / 4.0).astype(self.rdtype)
 
-        psik = self._apply_kinetic(state.psik, kcoeff, consts)
+        psik = self._apply_kinetic(state.psik, state.pending_k + kcoeff, consts)
         psi = self._inv(psik)
         phi = self._potential(psi, consts)
         phi_max = self._spatial_max(jnp.abs(phi)).astype(self.tdtype)
@@ -521,8 +606,9 @@ class Stepper:
             tau = tau + dtau / 2.0
 
         psik = self._fwd(psi)
-        psik = self._apply_kinetic(psik, kcoeff, consts)
-        psi = self._lazy_inv(psik, state.psi, is_dump)
+        psi, psik, pending = self._finalize_step(
+            psik, state.psi, is_dump, kcoeff, consts
+        )
 
         alias_mass = self._alias_mass(psik, consts)
         aliased = state.aliased | (alias_mass > p.alias_threshold)
@@ -539,6 +625,8 @@ class Stepper:
             aliased=aliased,
             alias_mass=alias_mass,
             phi_max=phi_max,
+            max_norm_err=self._track_norm(state, psik),
+            pending_k=pending,
         )
 
     # ------------------------------------------------------------------

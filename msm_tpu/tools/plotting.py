@@ -34,7 +34,7 @@ from ..io.npy import load_complex_pair  # noqa: E402
 def load_dump(sim_dir: str, dump: int, field: str = "psi") -> np.ndarray:
     """Load one dump as a squeezed complex grid."""
     arr = load_complex_pair(os.path.join(sim_dir, f"{field}_{dump:05d}"))
-    return np.squeeze(arr, axis=tuple(range(arr.ndim))[arr.ndim - (arr.shape[::-1].count(1)):]) if False else np.squeeze(arr)
+    return np.squeeze(arr)
 
 
 def count_dumps(sim_dir: str, field: str = "psi") -> int:

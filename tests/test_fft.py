@@ -97,3 +97,56 @@ class TestMatmulDFT:
             np.asarray(s_mm.psi), np.asarray(s_xla.psi), atol=1e-11
         )
         np.testing.assert_allclose(float(s_mm.time), float(s_xla.time), rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# MXU CT-matmul FFT (ops/mxu_fft.py)
+# ---------------------------------------------------------------------------
+
+from msm_tpu.ops import mxu_fft
+
+
+@pytest.mark.parametrize(
+    "size,dims,shape",
+    [
+        (128, 1, (128,)),
+        (256, 1, (3, 256)),
+        (512, 1, (512,)),
+        (1024, 1, (1024,)),
+        (256, 2, (256, 256)),
+        (128, 3, (128, 128, 128)),
+    ],
+)
+def test_mxu_fft_matches_numpy(size, dims, shape, rng):
+    x = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
+        np.complex128
+    )
+    ref = np.fft.fftn(x, axes=tuple(range(-dims, 0)), norm="ortho")
+    got = np.asarray(mxu_fft.forward(jnp.asarray(x), dims))
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+    back = np.asarray(mxu_fft.inverse(jnp.asarray(ref), dims))
+    np.testing.assert_allclose(back, x, atol=1e-12)
+
+
+def test_mxu_engine_order_consistency(rng):
+    """Engine order: inverse_engine(forward_engine(x)) == x without any
+    reordering, and permute_spec maps natural k-grids onto engine indices."""
+    x = (rng.standard_normal((256, 256)) + 1j * rng.standard_normal((256, 256)))
+    xe = mxu_fft.forward_engine(jnp.asarray(x), 2)
+    rt = np.asarray(mxu_fft.inverse_engine(xe, 2))
+    np.testing.assert_allclose(rt, x, atol=1e-12)
+    # permuted constants line up with engine-order data
+    ref_k = np.fft.fftn(x, norm="ortho")
+    spec = np.add.outer(np.fft.fftfreq(256) ** 2, np.fft.fftfreq(256) ** 2)
+    got = np.asarray(mxu_fft.to_natural(xe, 2))
+    np.testing.assert_allclose(got, ref_k, atol=1e-12)
+    spec_e = mxu_fft.permute_spec(spec, 2)
+    # multiply in engine order, come back: must equal natural-product
+    prod_e = np.asarray(xe) * spec_e
+    prod_n = np.asarray(mxu_fft.to_natural(jnp.asarray(prod_e), 2))
+    np.testing.assert_allclose(prod_n, ref_k * spec, atol=1e-12)
+
+
+def test_mxu_supported_sizes():
+    assert all(mxu_fft.supported(s) for s in (128, 256, 512, 1024))
+    assert not any(mxu_fft.supported(s) for s in (64, 192, 2048, 96))

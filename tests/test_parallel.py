@@ -168,3 +168,101 @@ def test_size_divisibility_validation():
     p = cfg.resolve_parameters(toml)
     with pytest.raises(ValueError, match="not divisible"):
         MeshStepper(p, _mesh(2, 4), jnp.complex128)
+
+
+# ---------------------------------------------------------------------------
+# 2-D pencil decomposition (parallel/pfft.fftn_pencil)
+# ---------------------------------------------------------------------------
+
+from msm_tpu.parallel.mesh import SPACE2_AXIS
+
+
+def _mesh3(n_stream, px, py):
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices()[: n_stream * px * py]).reshape(
+        n_stream, px, py
+    )
+    return Mesh(devs, (STREAM_AXIS, SPACE_AXIS, SPACE2_AXIS))
+
+
+@pytest.mark.parametrize("px,py", [(2, 2), (2, 4), (4, 2)])
+def test_pencil_fft_matches_fftn(rng, px, py):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _mesh3(1, px, py)
+    size = 16
+    shape = (2, size, size, size)
+    x = jnp.asarray(
+        rng.standard_normal(shape) + 1j * rng.standard_normal(shape),
+        jnp.complex128,
+    )
+    can_spec = P(None, SPACE_AXIS, SPACE2_AXIS, None)
+    tr_spec = P(None, None, SPACE_AXIS, SPACE2_AXIS)
+    names = (SPACE_AXIS, SPACE2_AXIS)
+
+    fwd = jax.jit(
+        jax.shard_map(
+            lambda a: pfft.fftn_pencil(a, 3, names),
+            mesh=mesh,
+            in_specs=(can_spec,),
+            out_specs=tr_spec,
+            check_vma=False,
+        )
+    )
+    inv = jax.jit(
+        jax.shard_map(
+            lambda a: pfft.ifftn_pencil(a, 3, names),
+            mesh=mesh,
+            in_specs=(tr_spec,),
+            out_specs=can_spec,
+            check_vma=False,
+        )
+    )
+    xs = jax.device_put(x, NamedSharding(mesh, can_spec))
+    xk = fwd(xs)
+    expected = np.fft.fftn(np.asarray(x), axes=(-3, -2, -1), norm="ortho")
+    np.testing.assert_allclose(np.asarray(xk), expected, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(inv(xk)), np.asarray(x), atol=1e-12)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (1, 2, 4), (1, 4, 2)])
+def test_mesh_stepper_pencil_matches_single_device(mesh_shape):
+    """The full KDK evolve-to-dump loop over a (stream, x, y) pencil mesh
+    equals the single-device run — the VERDICT round-2 'done' bar."""
+    toml = _toml()
+    p = cfg.resolve_parameters(toml)
+    mesh = _mesh3(*mesh_shape)
+
+    psi0 = build_ics(p)
+    n_streams = 2
+    rng = np.random.default_rng(5)
+    batch = np.stack(
+        [
+            psi0 * np.exp(0.1j * rng.standard_normal() * np.ones(p.shape))
+            for _ in range(n_streams)
+        ]
+    )
+
+    single = Stepper(p, jnp.complex128)
+    s_state = single.init_state(batch, batched=True)
+    s_state = single.snap_after_dump(single.evolve_to_next_dump(s_state))
+
+    msstep = MeshStepper(p, mesh, jnp.complex128)
+    assert msstep.shard_space and len(msstep.space_axes) == 2
+    m_state = msstep.init_state(batch)
+    m_state = msstep.snap_after_dump(msstep.evolve_to_next_dump(m_state))
+
+    np.testing.assert_allclose(
+        np.asarray(m_state.time), np.asarray(s_state.time), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        msstep.gather_psi(m_state), np.asarray(s_state.psi), atol=1e-11
+    )
+    # gather_spatial replicates grids over the space axes for dumping
+    g = msstep.gather_spatial(m_state.psi)
+    from msm_tpu.parallel.mesh import write_owner_indices
+
+    owned = write_owner_indices(g)
+    assert owned == list(range(n_streams))  # single process owns all
+    np.testing.assert_allclose(np.asarray(g), np.asarray(s_state.psi), atol=1e-11)

@@ -1,6 +1,7 @@
 """Statistical tests for the quantum sampling schemes — the moment checks
 the reference does offline in `simulator/check_var.py:25-54`."""
 
+import math
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -110,3 +111,31 @@ def test_norm_approximately_preserved():
     out = np.asarray(sampling.sample_quantum_perturbation(psi, p, 5, "Husimi"))
     norm = np.sum(np.abs(out) ** 2) * p.dx**p.dims
     assert norm == pytest.approx(1.0, rel=1e-2)
+
+
+def test_poisson_gaussian_crossover_moment_continuity():
+    """The Poisson sampler switches to the Gaussian limit at lam > 1e6
+    (sampling.py sqrt_lam > 1e3 branch). Moments of the per-cell counts
+    must be continuous across the threshold: mean ~ lam, var ~ lam on both
+    sides, and the two branches agree on overlapping statistics."""
+    from msm_tpu.models.sampling import _sample, stream_key
+
+    n_cells = 1 << 14
+    dims, dx = 1, 1.0
+    results = {}
+    for tag, lam in (("below", 0.64e6), ("above", 1.44e6)):
+        # uniform |psi|^2 so every cell has the same lam = |psi|^2 dx n_tot
+        n_tot = 1e12
+        amp = math.sqrt(lam / n_tot)
+        psi = jnp.full((n_cells,), amp + 0j, jnp.complex128)
+        out = _sample(psi, stream_key(7), "Poisson", dims, dx, n_tot)
+        counts = np.asarray(jnp.abs(out) ** 2) * dx * n_tot  # recovered draws
+        mean, var = counts.mean(), counts.var()
+        # Poisson(lam): mean = var = lam; allow 5 sigma of the estimators
+        tol_mean = 5 * math.sqrt(lam / n_cells)
+        assert abs(mean - lam) < tol_mean, (tag, mean, lam)
+        assert abs(var - lam) < 0.05 * lam, (tag, var, lam)
+        results[tag] = (mean / lam, var / lam)
+    # continuity: normalized moments agree across the branch switch
+    assert abs(results["below"][0] - results["above"][0]) < 1e-3
+    assert abs(results["below"][1] - results["above"][1]) < 0.05

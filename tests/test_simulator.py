@@ -346,3 +346,43 @@ storage_account = "streams"
         toml, dtype=jnp.complex128, data_root=root2, use_remote_storage=False
     )
     assert os.path.exists(os.path.join(root2, "rsrun", "psi_00002_real"))
+
+
+def test_mesh_auto_pads_nondivisible_batch(tmp_path):
+    """mesh=auto with a run count that divides nothing: the batch is padded
+    internally (extra MFT rows, dumps discarded) instead of raising
+    'pad the seed list' (round-1 behavior)."""
+    toml = cfg.parse_toml_str(
+        """
+axis_length = 30
+final_sim_time = 1.0
+cfl = 0.5
+num_data_dumps = 2
+total_mass = 1e8
+hbar_ = 0.05
+sim_name = "pad"
+k2_cutoff = 0.95
+alias_threshold = 0.5
+dims = 1
+size = 64
+
+[ics]
+type = "ColdGauss"
+mean = [15.0]
+std = [4.0]
+
+[sampling]
+seeds = "1 to 4"
+scheme = "Wigner"
+"""
+    )  # 5 runs over 8 devices: 1-D cannot shard space -> padded to 8
+    root_a, root_b = str(tmp_path / "a"), str(tmp_path / "b")
+    simulator.run_config(toml, dtype=jnp.complex128, data_root=root_a)
+    simulator.run_config(toml, dtype=jnp.complex128, data_root=root_b, mesh="auto")
+    for name in ["pad"] + [f"pad-stream{s:05d}" for s in range(1, 5)]:
+        for dump in range(3):
+            a = load_complex_pair(os.path.join(root_a, name, f"psi_{dump:05d}"))
+            b = load_complex_pair(os.path.join(root_b, name, f"psi_{dump:05d}"))
+            np.testing.assert_allclose(a, b, atol=1e-11)
+    # no padded-row directories leak
+    assert not any("stream00005" in d for d in os.listdir(root_b))
