@@ -44,6 +44,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.msm_write_npy.restype = ctypes.c_int
         lib.msm_write_npy.argtypes = lib.msm_write_complex_pair.argtypes
+        if hasattr(lib, "msm_read_complex_pair"):
+            lib.msm_read_complex_pair.restype = ctypes.c_int
+            lib.msm_read_complex_pair.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_void_p,
+                ctypes.c_uint64,
+                ctypes.c_int,
+            ]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -79,6 +87,30 @@ def write_complex_pair(path_base: str, arr: np.ndarray) -> None:
     )
     if rc != 0:
         raise OSError(f"native complex pair write failed ({rc}): {path_base}")
+
+
+def can_read() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "msm_read_complex_pair")
+
+
+def read_complex_pair(path_base: str, shape, dtype) -> np.ndarray:
+    """Read `{base}_real`/`{base}_imag` planes into one interleaved complex
+    array in a single GIL-free pass (no real+imag numpy temporaries)."""
+    lib = _load()
+    assert lib is not None
+    dtype = np.dtype(dtype)
+    assert dtype in (np.complex64, np.complex128)
+    out = np.empty(shape, dtype)
+    rc = lib.msm_read_complex_pair(
+        path_base.encode(),
+        out.ctypes.data_as(ctypes.c_void_p),
+        out.size,
+        1 if dtype == np.complex128 else 0,
+    )
+    if rc != 0:
+        raise OSError(f"native complex pair read failed ({rc}): {path_base}")
+    return out
 
 
 def write_npy(path: str, arr: np.ndarray) -> None:

@@ -61,8 +61,33 @@ def write_complex_pair(path_base: str, arr: np.ndarray) -> None:
     write_npy_exact(path_base + "_imag", np.ascontiguousarray(arr.imag))
 
 
+def _read_header(path: str):
+    """(shape, fortran_order, dtype) of an npy file (header only)."""
+    with open(path, "rb") as f:
+        version = np.lib.format.read_magic(f)
+        if version == (1, 0):
+            return np.lib.format.read_array_header_1_0(f)
+        return np.lib.format.read_array_header_2_0(f)
+
+
 def load_complex_pair(path_base: str, dtype=np.complex128) -> np.ndarray:
-    """Load a complex grid from its `_real` / `_imag` pair."""
+    """Load a complex grid from its `_real` / `_imag` pair.
+
+    When the native reader is available and the on-disk precision matches
+    the requested complex dtype, both planes stream straight into one
+    interleaved complex buffer with the GIL released (the synthesizer's
+    hot load path, `synthesizer/src/lib.rs:38-68` counterpart).
+    """
+    from . import native
+
+    if native.can_read():
+        shape, fortran, rdtype = _read_header(path_base + "_real")
+        want = (
+            np.complex128 if np.dtype(dtype) == np.complex128 else np.complex64
+        )
+        plane = np.float64 if want == np.complex128 else np.float32
+        if not fortran and rdtype == plane:
+            return native.read_complex_pair(path_base, shape, want)
     real = read_npy_exact(path_base + "_real")
     imag = read_npy_exact(path_base + "_imag")
     return (real + 1j * imag).astype(dtype)

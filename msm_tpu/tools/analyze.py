@@ -61,6 +61,16 @@ def analyze_dump(
     result["linear_entropy"] = float(quantum.linear_entropy(rho_k))
     result["von_neumann_entropy"] = quantum.von_neumann_entropy(rho_k)
     result["n_modes"] = n_modes
+
+    # spatial entanglement proxy: entropy of the half-box reduced density
+    # matrix (partial trace over the other half; QUtils.py:19-183 pedigree)
+    if toml.size**toml.dims <= 4096:
+        mask = np.zeros((toml.size,) * toml.dims, bool)
+        mask[: toml.size // 2] = True
+        rho_a = quantum.subregion_density_matrix(batch, toml.dims, dv, mask)
+        result["halfbox_entanglement_entropy"] = quantum.von_neumann_entropy(
+            rho_a
+        )
     return result
 
 

@@ -90,9 +90,73 @@ int write_pair_impl(const char *base, const char *descr, const T *data,
   return write_plane<T>(imag_path.c_str(), descr, data, n, shape, ndim, 2, 1);
 }
 
+template <typename T>
+int read_plane(const char *path, T *dst, uint64_t n, int stride, int offset) {
+  FILE *f = std::fopen(path, "rb");
+  if (!f) return -1;
+  // npy v1.0/v2.0 header: magic(6) ver(2) then u16/u32 header length
+  unsigned char pre[10];
+  if (std::fread(pre, 1, 10, f) != 10 || std::memcmp(pre, "\x93NUMPY", 6)) {
+    std::fclose(f);
+    return -2;
+  }
+  uint64_t hlen;
+  long data_off;
+  if (pre[6] == 1) {
+    hlen = pre[8] | (pre[9] << 8);
+    data_off = 10 + static_cast<long>(hlen);
+  } else {
+    unsigned char ext[2];
+    if (std::fread(ext, 1, 2, f) != 2) {
+      std::fclose(f);
+      return -2;
+    }
+    hlen = pre[8] | (pre[9] << 8) | (static_cast<uint64_t>(ext[0]) << 16) |
+           (static_cast<uint64_t>(ext[1]) << 24);
+    data_off = 12 + static_cast<long>(hlen);
+  }
+  if (std::fseek(f, data_off, SEEK_SET) != 0) {
+    std::fclose(f);
+    return -3;
+  }
+  std::vector<T> buf(std::min<uint64_t>(n, kChunkElems));
+  uint64_t done = 0;
+  while (done < n) {
+    uint64_t m = std::min<uint64_t>(n - done, kChunkElems);
+    if (std::fread(buf.data(), sizeof(T), m, f) != m) {
+      std::fclose(f);
+      return -4;
+    }
+    T *p = dst + done * stride + offset;
+    for (uint64_t i = 0; i < m; ++i) p[i * stride] = buf[i];
+    done += m;
+  }
+  std::fclose(f);
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Read `{base}_real` / `{base}_imag` npy files into an interleaved complex
+// buffer of n_elems elements (caller parses headers for shape/dtype and
+// allocates). Returns 0 on success.
+int msm_read_complex_pair(const char *base, void *out, uint64_t n_elems,
+                          int is_double) {
+  std::string real_path = std::string(base) + "_real";
+  std::string imag_path = std::string(base) + "_imag";
+  if (is_double) {
+    double *dst = static_cast<double *>(out);
+    int rc = read_plane<double>(real_path.c_str(), dst, n_elems, 2, 0);
+    if (rc != 0) return rc;
+    return read_plane<double>(imag_path.c_str(), dst, n_elems, 2, 1);
+  }
+  float *dst = static_cast<float *>(out);
+  int rc = read_plane<float>(real_path.c_str(), dst, n_elems, 2, 0);
+  if (rc != 0) return rc;
+  return read_plane<float>(imag_path.c_str(), dst, n_elems, 2, 1);
+}
 
 // Write `{base}_real` / `{base}_imag` npy files from interleaved complex
 // data (complex64 when is_double=0, complex128 when is_double=1).

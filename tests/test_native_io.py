@@ -60,3 +60,25 @@ def test_pair_roundtrip_large(tmp_path, rng):
     npy.write_complex_pair(str(tmp_path / "big"), arr)
     back = npy.load_complex_pair(str(tmp_path / "big"), np.complex64)
     np.testing.assert_array_equal(back, arr)
+
+
+def test_native_read_complex_pair_roundtrip(tmp_path, rng):
+    """Native reader: both planes stream into one interleaved buffer;
+    byte-identical to the numpy fallback for f32 and f64 pairs."""
+    from msm_tpu.io import native
+    from msm_tpu.io.npy import load_complex_pair, write_complex_pair
+
+    if not native.can_read():
+        pytest.skip("native library not built")
+    for dtype, cdtype in ((np.float64, np.complex128), (np.float32, np.complex64)):
+        arr = (
+            rng.standard_normal((6, 5, 4, 1)) + 1j * rng.standard_normal((6, 5, 4, 1))
+        ).astype(cdtype)
+        base = str(tmp_path / f"grid_{dtype.__name__}")
+        write_complex_pair(base, arr)
+        got = load_complex_pair(base, dtype=cdtype)
+        assert got.dtype == cdtype and got.shape == arr.shape
+        np.testing.assert_array_equal(got, arr)
+        # cross-precision request falls back to the numpy path
+        up = load_complex_pair(base, dtype=np.complex128)
+        np.testing.assert_allclose(up, arr.astype(np.complex128))
