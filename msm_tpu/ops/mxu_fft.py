@@ -250,6 +250,62 @@ def _lane_kernel(xr_ref, xi_ref, w_ref, or_ref, oi_ref, *, R, inverse, precision
             oi_ref[:, a * LEAF : (a + 1) * LEAF] = combined[a][1]
 
 
+def _lane_kernel_real_fwd(xr_ref, w_ref, or_ref, oi_ref, *, R, precision):
+    """Forward lane pass for REAL input (imag plane identically zero):
+    half the butterfly adds and half the matmuls (the Poisson density)."""
+    phases = _radix_phases(R, inverse=False)
+    inv_sqrt_r = 1.0 / math.sqrt(R)
+    dot = functools.partial(
+        jnp.dot, preferred_element_type=xr_ref.dtype, precision=precision
+    )
+    chunks = [xr_ref[:, a * LEAF : (a + 1) * LEAF] for a in range(R)]
+    for r in range(R):
+        sre = None
+        sim = None
+        for a, x in enumerate(chunks):
+            w = phases[r][a]
+            tre = _scale_add(x, w.real, x, 0.0)
+            tim = _scale_add(x, w.imag, x, 0.0)
+            sre = tre if sre is None else sre + tre
+            sim = tim if sim is None else sim + tim
+        sre = sre * inv_sqrt_r
+        sim = sim * inv_sqrt_r
+        or_ref[:, r * LEAF : (r + 1) * LEAF] = dot(sre, w_ref[r, 0]) - dot(
+            sim, w_ref[r, 1]
+        )
+        oi_ref[:, r * LEAF : (r + 1) * LEAF] = dot(sre, w_ref[r, 1]) + dot(
+            sim, w_ref[r, 0]
+        )
+
+
+def _lane_kernel_real_inv(xr_ref, xi_ref, w_ref, or_ref, *, R, precision):
+    """Inverse lane pass emitting only the REAL part (the Poisson
+    potential: phi = Re F^-1[phi_k]): half the matmuls and adds."""
+    phases = _radix_phases(R, inverse=True)
+    inv_sqrt_r = 1.0 / math.sqrt(R)
+    dot = functools.partial(
+        jnp.dot, preferred_element_type=xr_ref.dtype, precision=precision
+    )
+    u = []
+    for r in range(R):
+        xre = xr_ref[:, r * LEAF : (r + 1) * LEAF]
+        xim = xi_ref[:, r * LEAF : (r + 1) * LEAF]
+        # Re(U_r) = Xre @ Wre - Xim @ Wim
+        u.append(
+            (
+                dot(xre, w_ref[r, 0]) - dot(xim, w_ref[r, 1]),
+                dot(xre, w_ref[r, 1]) + dot(xim, w_ref[r, 0]),
+            )
+        )
+    for a in range(R):
+        acc = None
+        for r in range(R):
+            w = phases[a][r]
+            t = _scale_add(u[r][0], w.real, u[r][1], -w.imag)
+            acc = t if acc is None else acc + t
+        or_ref[:, a * LEAF : (a + 1) * LEAF] = acc * inv_sqrt_r
+
+
 def _sublane_kernel(xr_ref, xi_ref, w_ref, or_ref, oi_ref, *, R, inverse, precision):
     """Transform along the middle axis of a (1, N, LANES) block."""
     phases = _radix_phases(R, inverse)
@@ -325,6 +381,57 @@ def _axis_pass_lane(xr, xi, size: int, inverse: bool):
     return out[0].reshape(lead + (size,)), out[1].reshape(lead + (size,))
 
 
+def _axis_pass_lane_real(xr_or_pair, size: int, inverse: bool):
+    """Real-input forward (xr only in) or real-output inverse ((xr, xi) in,
+    xr out) along the last axis."""
+    R = size // LEAF
+    if inverse:
+        xr, xi = xr_or_pair
+    else:
+        xr, xi = xr_or_pair, None
+    w = jnp.asarray(_matrices(size, inverse, xr.dtype.name))
+    lead = xr.shape[:-1]
+    rows = int(np.prod(lead)) if lead else 1
+    rb = min(_LANE_ROWS, rows)
+    while rows % rb:
+        rb -= 1
+    grid = (rows // rb,)
+    spec = pl.BlockSpec((rb, size), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(
+        (R, 2, LEAF, LEAF), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    common = dict(
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )
+    if not inverse:
+        kern = functools.partial(
+            _lane_kernel_real_fwd, R=R, precision=_precision()
+        )
+        out = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[spec, wspec],
+            out_specs=[spec, spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((rows, size), xr.dtype),
+                jax.ShapeDtypeStruct((rows, size), xr.dtype),
+            ],
+            **common,
+        )(xr.reshape(rows, size), w)
+        return out[0].reshape(lead + (size,)), out[1].reshape(lead + (size,))
+    kern = functools.partial(_lane_kernel_real_inv, R=R, precision=_precision())
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[spec, spec, wspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((rows, size), xr.dtype),
+        **common,
+    )(xr.reshape(rows, size), xi.reshape(rows, size), w)
+    return out.reshape(lead + (size,))
+
+
 def _axis_pass_sublane(xr, xi, axis: int, inverse: bool):
     """Transform axis `axis` (not the last) of planar arrays."""
     size = xr.shape[axis]
@@ -387,6 +494,26 @@ def inverse_engine(psik: jnp.ndarray, dims: int) -> jnp.ndarray:
         xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=True)
     xr, xi = _axis_pass_lane(xr, xi, psik.shape[-1], inverse=True)
     return jax.lax.complex(xr, xi)
+
+
+def forward_engine_real(rho: jnp.ndarray, dims: int) -> jnp.ndarray:
+    """Ortho forward FFT of a REAL field (the Poisson density): the first
+    (lane) pass skips the zero imaginary plane — half its arithmetic."""
+    xr, xi = _axis_pass_lane_real(rho, rho.shape[-1], inverse=False)
+    for ax in range(rho.ndim - dims, rho.ndim - 1):
+        xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=False)
+    return jax.lax.complex(xr, xi)
+
+
+def inverse_engine_real(phik: jnp.ndarray, dims: int) -> jnp.ndarray:
+    """Ortho inverse FFT keeping only the REAL part (the potential,
+    phi = Re F^-1[phi_k], calculate_potential :1109): the final (lane)
+    pass emits one plane — half its arithmetic."""
+    xr = jnp.real(phik)
+    xi = jnp.imag(phik)
+    for ax in range(phik.ndim - dims, phik.ndim - 1):
+        xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=True)
+    return _axis_pass_lane_real((xr, xi), phik.shape[-1], inverse=True)
 
 
 def forward(psi: jnp.ndarray, dims: int) -> jnp.ndarray:

@@ -434,6 +434,16 @@ class Stepper:
         rho = jnp.asarray(self.density_prefactor, self.rdtype) * jnp.real(
             psi * jnp.conj(psi)
         )
+        # MXU engine path: real-input forward + real-output inverse Pallas
+        # transforms (mxu_fft real variants) with the engine-permuted k^2
+        # constants; keeps the whole step graph on Pallas kernels (a mixed
+        # rfft+Pallas graph risks the round-1 remote-AOT stall).
+        if self.use_mxu:
+            from .ops import mxu_fft
+
+            rho_k = mxu_fft.forward_engine_real(rho, self.params.dims)
+            phi_k = self._poisson_multiply(rho_k, consts)
+            return mxu_fft.inverse_engine_real(phi_k, self.params.dims)
         # Half-spectrum rfft Poisson on the XLA path. The matmul-DFT mode
         # keeps the Poisson solve on matmuls too: a mixed rfft+matmul step
         # graph was observed to stall the remote AOT compiler (>10 min),

@@ -150,3 +150,18 @@ def test_mxu_engine_order_consistency(rng):
 def test_mxu_supported_sizes():
     assert all(mxu_fft.supported(s) for s in (128, 256, 512, 1024))
     assert not any(mxu_fft.supported(s) for s in (64, 192, 2048, 96))
+
+
+def test_mxu_real_transforms(rng):
+    """Real-input forward / real-output inverse (the Poisson path)."""
+    rho = rng.standard_normal((128, 128, 128))
+    got = np.asarray(mxu_fft.forward_engine_real(jnp.asarray(rho), 3))
+    ref = np.asarray(mxu_fft.forward_engine(jnp.asarray(rho + 0j), 3))
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+    phik = mxu_fft.forward_engine(
+        jnp.asarray(rng.standard_normal((256, 256)) + 0j), 2
+    )
+    back_real = np.asarray(mxu_fft.inverse_engine_real(phik, 2))
+    back_full = np.asarray(mxu_fft.inverse_engine(phik, 2))
+    np.testing.assert_allclose(back_real, back_full.real, atol=1e-12)
