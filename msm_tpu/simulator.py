@@ -377,9 +377,10 @@ def run_single(
     dt_mode: str = "exact",
     backend=None,
     use_remote_storage: bool = True,
+    debug_checks: bool = False,
 ) -> SimState:
     """Run one simulation to completion, dumping psi at every boundary."""
-    stepper = Stepper(params, dtype, dt_mode=dt_mode)
+    stepper = Stepper(params, dtype, dt_mode=dt_mode, debug_checks=debug_checks)
     if backend is None and use_remote_storage:
         backend = storage_backend_for(params, data_root, writer)
     run = SimulationRun(params, data_root, writer, backend=backend)
@@ -445,6 +446,13 @@ def run_single(
                 _report_aliasing(params, float(np.asarray(state.alias_mass)), strict_alias)
                 break
             state = stepper.snap_after_dump(state)
+            if debug_checks:
+                err = float(np.asarray(state.max_norm_err))
+                if not err < 1e-3:
+                    raise FloatingPointError(
+                        f"in-step unitarity violation in {params.sim_name}: "
+                        f"max |norm/norm0 - 1| = {err:.3g}"
+                    )
             idx = int(state.current_dumps)
             run.dump_field(device_get_complex(state.psi), idx)
             if params.output_potential:
@@ -518,6 +526,7 @@ def run_config(
                             dt_mode=dt_mode,
                             backend=backend,
                             use_remote_storage=use_remote_storage,
+                            debug_checks=debug_checks,
                         )
                     )
         finally:
