@@ -21,7 +21,7 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument(
         "--metric",
-        choices=("kdk", "streams"),
+        choices=("kdk", "streams", "scaling"),
         default="kdk",
         help="kdk: grid-updates/s on one big grid; streams: ensemble streams/s",
     )

@@ -205,6 +205,9 @@ def build_parser() -> argparse.ArgumentParser:
     bench.add_argument("--dims", type=int, default=3)
     bench.add_argument("--streams", type=int, default=1)
     bench.add_argument("--steps", type=int, default=20)
+    bench.add_argument(
+        "--metric", choices=("kdk", "streams", "scaling"), default="kdk"
+    )
     bench.set_defaults(fn=cmd_bench)
 
     return parser

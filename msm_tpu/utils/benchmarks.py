@@ -163,8 +163,107 @@ def run_ensemble_bench(
     }
 
 
+def run_scaling_bench(size: int = 64, dims: int = 3, steps: int = 5) -> dict:
+    """Weak-scaling sweep: fixed per-device grid load, 1..N devices.
+
+    Each point runs the KDK step over a (stream=1, x, y) pencil mesh with
+    the GLOBAL grid scaled so every device holds a (size^dims) pencil;
+    efficiency = t(1 device) / t(n devices) at constant per-device work.
+    On a real pod slice this produces the BASELINE.md weak-scaling table;
+    on the CPU virtual-device mesh it exercises the same collective
+    structure (numbers then measure XLA CPU collectives, not ICI).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from .. import config as cfg
+    from ..models.ics import build_ics
+    from ..parallel.mesh import SPACE2_AXIS, SPACE_AXIS, STREAM_AXIS
+    from ..parallel.sharded import MeshStepper
+    from .cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    devices = jax.devices()
+    points = []
+    n = 1
+    while n <= len(devices):
+        # pencil split: px >= py, px*py = n
+        py = int(n**0.5)
+        while n % py:
+            py -= 1
+        px = n // py
+        # scale the global grid to keep per-device volume constant
+        gsize = size
+        while (gsize // px) * (gsize // py) * gsize < size**dims or gsize % max(px, py):
+            gsize += size
+        toml = cfg.TomlParameters(
+            axis_length=30.0,
+            final_sim_time=1e9,
+            cfl=0.5,
+            num_data_dumps=1,
+            total_mass=1e11,
+            sim_name="bench-scale",
+            k2_cutoff=0.95,
+            alias_threshold=1e9,
+            dims=dims,
+            size=gsize,
+            ics=cfg.SphericalTophat(radius=5.0, delta=100.0, slope=50.0),
+            hbar_=0.05,
+        )
+        params = cfg.resolve_parameters(toml)
+        mesh = Mesh(
+            np.asarray(devices[:n]).reshape(1, px, py),
+            (STREAM_AXIS, SPACE_AXIS, SPACE2_AXIS),
+        )
+        stepper = MeshStepper(params, mesh, jnp.complex64)
+        psi0 = build_ics(params)[None]
+        state = stepper.init_state(psi0)
+        redsum = jax.jit(lambda a: jnp.real(a).sum())
+        state = stepper.step(state)
+        float(np.asarray(redsum(state.psi)))  # compile + sync
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state = stepper.step(state)
+        float(np.asarray(redsum(state.psi)))
+        dt = (time.perf_counter() - t0) / steps
+        points.append(
+            {
+                "devices": n,
+                "mesh": f"(1,{px},{py})",
+                "global_grid": gsize,
+                "step_ms": round(dt * 1e3, 2),
+                "cell_updates_per_s": round(gsize**dims / dt, 1),
+            }
+        )
+        n *= 2
+    # cubic grids cannot hold per-device volume exactly constant across
+    # device counts, so efficiency is per-device THROUGHPUT normalized to
+    # the single-device point (load-invariant)
+    base = points[0]["cell_updates_per_s"]
+    for pt in points:
+        pt["weak_scaling_efficiency"] = round(
+            (pt["cell_updates_per_s"] / pt["devices"]) / base, 3
+        )
+    return {
+        "metric": "weak_scaling",
+        "value": points[-1]["weak_scaling_efficiency"],
+        "unit": (
+            f"per-device throughput at {points[-1]['devices']} devices / "
+            "1-device throughput"
+        ),
+        "vs_baseline": points[-1]["weak_scaling_efficiency"],
+        "points": points,
+    }
+
+
 def main(args) -> None:
-    if getattr(args, "metric", "kdk") == "streams":
+    metric = getattr(args, "metric", "kdk")
+    if metric == "streams":
         print(json.dumps(run_ensemble_bench(streams=args.streams or 128)))
+        return
+    if metric == "scaling":
+        print(json.dumps(run_scaling_bench(size=args.size, steps=args.steps)))
         return
     print(json.dumps(run_kdk_bench(args.size, args.dims, args.streams, args.steps)))
