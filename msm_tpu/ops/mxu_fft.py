@@ -52,6 +52,23 @@ _MAX_RADIX = 8
 # Row block for the lane kernel (rows x N f32 per plane per buffer).
 _LANE_ROWS = 256
 
+# Lane-block width for the sublane kernel (multiple of LEAF). Wider blocks
+# give the MXU a larger free dimension per matmul instruction and cut the
+# grid's block count (fewer pipeline stalls) at the cost of VMEM. Measured
+# on v5e at 256^3: 256-512 is flat-optimal, 128 costs ~6%, >=1024 regresses.
+_SUBLANE_LANES = 512
+
+# MXU precision for the DFT matmuls. HIGHEST = 6-pass bf16 decomposition
+# (exact f32); HIGH = 3-pass (drops the lowest cross term) — 2x the MXU
+# throughput for a modestly higher noise floor. See _precision().
+_PRECISION = jax.lax.Precision.HIGHEST
+
+# Fuse the last TWO axes into one kernel pass ((1, N, N) blocks with a VMEM
+# scratch intermediate): a 3-D transform becomes 2 HBM passes instead of 3
+# and a 2-D transform becomes 1. Measured bottleneck is DMA (the copy floor
+# is ~0.65 ms/pass at 256^3), so pass count is the dominant cost.
+_FUSE2 = True
+
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
@@ -339,12 +356,302 @@ def _sublane_kernel(xr_ref, xi_ref, w_ref, or_ref, oi_ref, *, R, inverse, precis
 
 
 # ---------------------------------------------------------------------------
+# Kernels with fused step elementwise ops (the hot-loop interludes between
+# transforms: kinetic/potential phase rotations, Poisson multiply, density).
+# Fusing them here removes whole HBM passes — the step is DMA-bound (the
+# pure-copy floor is ~0.65 ms/pass at 256^3 on v5e).
+# ---------------------------------------------------------------------------
+
+
+def _sublane_kernel_inv_kphase(
+    coeff_ref, xr_ref, xi_ref, w_ref, spec_ref, or_ref, oi_ref, *, R, precision
+):
+    """Inverse sublane pass with a fused pre-multiply by exp(i*c*spec):
+    the opening kinetic half-kick of the KDK step (update :504-516) rides
+    the inverse transform's read of psik. coeff is per-batch (SMEM)."""
+    phases = _radix_phases(R, inverse=True)
+    inv_sqrt_r = 1.0 / math.sqrt(R)
+    c = coeff_ref[pl.program_id(0)]
+    u = []
+    for r in range(R):
+        sl = slice(r * LEAF, (r + 1) * LEAF)
+        ang = c * spec_ref[0, sl, :]
+        cs = jnp.cos(ang)
+        sn = jnp.sin(ang)
+        xre = xr_ref[0, sl, :]
+        xim = xi_ref[0, sl, :]
+        rre = xre * cs - xim * sn
+        rim = xim * cs + xre * sn
+        u.append(_cmatmul_t(w_ref[r, 0], w_ref[r, 1], rre, rim, precision))
+    combined = _butterfly(u, phases, inv_sqrt_r)
+    for a in range(R):
+        or_ref[0, a * LEAF : (a + 1) * LEAF, :] = combined[a][0]
+        oi_ref[0, a * LEAF : (a + 1) * LEAF, :] = combined[a][1]
+
+
+def _fused_kernel_fwd_xphase(
+    coeff_ref, xr_ref, xi_ref, w_ref, phi_ref, or_ref, oi_ref, sr_ref, si_ref,
+    *, R, n0, precision,
+):
+    """Fused2 forward pass with a fused pre-multiply by exp(i*c*phi): the
+    potential kick (update :535-545) rides the forward transform's read of
+    psi. The fused2 grid index is batch*n0 + plane, so the per-batch coeff
+    is coeff_ref[i // n0]."""
+    phases = _radix_phases(R, inverse=False)
+    inv_sqrt_r = 1.0 / math.sqrt(R)
+    c = coeff_ref[pl.program_id(0) // n0]
+    chunks = []
+    for a in range(R):
+        sl = slice(a * LEAF, (a + 1) * LEAF)
+        ang = c * phi_ref[0, :, sl]
+        cs = jnp.cos(ang)
+        sn = jnp.sin(ang)
+        xre = xr_ref[0, :, sl]
+        xim = xi_ref[0, :, sl]
+        chunks.append((xre * cs - xim * sn, xim * cs + xre * sn))
+    s = _butterfly(chunks, phases, inv_sqrt_r)
+    for r in range(R):
+        yre, yim = _cmatmul(s[r][0], s[r][1], w_ref[r, 0], w_ref[r, 1], precision)
+        sr_ref[:, r * LEAF : (r + 1) * LEAF] = yre
+        si_ref[:, r * LEAF : (r + 1) * LEAF] = yim
+    chunks = [
+        (sr_ref[a * LEAF : (a + 1) * LEAF, :], si_ref[a * LEAF : (a + 1) * LEAF, :])
+        for a in range(R)
+    ]
+    s = _butterfly(chunks, phases, inv_sqrt_r)
+    for r in range(R):
+        yre, yim = _cmatmul_t(w_ref[r, 0], w_ref[r, 1], s[r][0], s[r][1], precision)
+        or_ref[0, r * LEAF : (r + 1) * LEAF, :] = yre
+        oi_ref[0, r * LEAF : (r + 1) * LEAF, :] = yim
+
+
+def _fused_kernel_density_fwd(
+    pr_ref, pi_ref, w_ref, or_ref, oi_ref, sr_ref, si_ref, *, R, prefactor, precision
+):
+    """Fused2 real forward whose input is the density synthesized from the
+    psi planes in-register: rho = prefactor * |psi|^2 (calculate_density
+    :1031-1063) — rho never exists in HBM."""
+    phases = _radix_phases(R, inverse=False)
+    inv_sqrt_r = 1.0 / math.sqrt(R)
+    dot = functools.partial(
+        jnp.dot, preferred_element_type=pr_ref.dtype, precision=precision
+    )
+    chunks = []
+    for a in range(R):
+        sl = slice(a * LEAF, (a + 1) * LEAF)
+        pr = pr_ref[0, :, sl]
+        pi = pi_ref[0, :, sl]
+        chunks.append(prefactor * (pr * pr + pi * pi))
+    for r in range(R):
+        sre = None
+        sim = None
+        for a, x in enumerate(chunks):
+            w = phases[r][a]
+            tre = _scale_add(x, w.real, x, 0.0)
+            tim = _scale_add(x, w.imag, x, 0.0)
+            sre = tre if sre is None else sre + tre
+            sim = tim if sim is None else sim + tim
+        sre = sre * inv_sqrt_r
+        sim = sim * inv_sqrt_r
+        sr_ref[:, r * LEAF : (r + 1) * LEAF] = dot(sre, w_ref[r, 0]) - dot(
+            sim, w_ref[r, 1]
+        )
+        si_ref[:, r * LEAF : (r + 1) * LEAF] = dot(sre, w_ref[r, 1]) + dot(
+            sim, w_ref[r, 0]
+        )
+    chunks = [
+        (sr_ref[a * LEAF : (a + 1) * LEAF, :], si_ref[a * LEAF : (a + 1) * LEAF, :])
+        for a in range(R)
+    ]
+    s = _butterfly(chunks, phases, inv_sqrt_r)
+    for r in range(R):
+        yre, yim = _cmatmul_t(w_ref[r, 0], w_ref[r, 1], s[r][0], s[r][1], precision)
+        or_ref[0, r * LEAF : (r + 1) * LEAF, :] = yre
+        oi_ref[0, r * LEAF : (r + 1) * LEAF, :] = yim
+
+
+def _sublane_kernel_inv_pmap(
+    xr_ref, xi_ref, w_ref, pmap_ref, or_ref, oi_ref, *, R, precision
+):
+    """Inverse sublane pass with a fused real multiply by a k-space map:
+    the Poisson -coeff/k^2 (k=0 zeroed) multiply (calculate_potential
+    :1076-1102) rides the inverse transform's read of rho_k."""
+    phases = _radix_phases(R, inverse=True)
+    inv_sqrt_r = 1.0 / math.sqrt(R)
+    u = []
+    for r in range(R):
+        sl = slice(r * LEAF, (r + 1) * LEAF)
+        m = pmap_ref[0, sl, :]
+        u.append(
+            _cmatmul_t(
+                w_ref[r, 0],
+                w_ref[r, 1],
+                xr_ref[0, sl, :] * m,
+                xi_ref[0, sl, :] * m,
+                precision,
+            )
+        )
+    combined = _butterfly(u, phases, inv_sqrt_r)
+    for a in range(R):
+        or_ref[0, a * LEAF : (a + 1) * LEAF, :] = combined[a][0]
+        oi_ref[0, a * LEAF : (a + 1) * LEAF, :] = combined[a][1]
+
+
+def _fused_kernel(
+    xr_ref, xi_ref, w_ref, or_ref, oi_ref, sr_ref, si_ref, *, R, inverse, precision
+):
+    """Transform the last TWO axes of a (1, N, N) block in one HBM pass.
+
+    Stage 1 writes the first axis transform into VMEM scratch (sr/si);
+    stage 2 transforms the other axis from scratch into the output block.
+    The per-axis math is identical to _lane_kernel/_sublane_kernel, so the
+    engine k-order is unchanged.
+    """
+    phases = _radix_phases(R, inverse)
+    inv_sqrt_r = 1.0 / math.sqrt(R)
+    if not inverse:
+        # lane transform x -> scratch
+        chunks = [
+            (xr_ref[0, :, a * LEAF : (a + 1) * LEAF], xi_ref[0, :, a * LEAF : (a + 1) * LEAF])
+            for a in range(R)
+        ]
+        s = _butterfly(chunks, phases, inv_sqrt_r)
+        for r in range(R):
+            yre, yim = _cmatmul(s[r][0], s[r][1], w_ref[r, 0], w_ref[r, 1], precision)
+            sr_ref[:, r * LEAF : (r + 1) * LEAF] = yre
+            si_ref[:, r * LEAF : (r + 1) * LEAF] = yim
+        # sublane transform scratch -> out
+        chunks = [
+            (sr_ref[a * LEAF : (a + 1) * LEAF, :], si_ref[a * LEAF : (a + 1) * LEAF, :])
+            for a in range(R)
+        ]
+        s = _butterfly(chunks, phases, inv_sqrt_r)
+        for r in range(R):
+            yre, yim = _cmatmul_t(w_ref[r, 0], w_ref[r, 1], s[r][0], s[r][1], precision)
+            or_ref[0, r * LEAF : (r + 1) * LEAF, :] = yre
+            oi_ref[0, r * LEAF : (r + 1) * LEAF, :] = yim
+    else:
+        # sublane inverse x -> scratch (matmuls first, butterfly after)
+        u = [
+            _cmatmul_t(
+                w_ref[r, 0],
+                w_ref[r, 1],
+                xr_ref[0, r * LEAF : (r + 1) * LEAF, :],
+                xi_ref[0, r * LEAF : (r + 1) * LEAF, :],
+                precision,
+            )
+            for r in range(R)
+        ]
+        combined = _butterfly(u, phases, inv_sqrt_r)
+        for a in range(R):
+            sr_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][0]
+            si_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][1]
+        # lane inverse scratch -> out
+        u = [
+            _cmatmul(
+                sr_ref[:, r * LEAF : (r + 1) * LEAF],
+                si_ref[:, r * LEAF : (r + 1) * LEAF],
+                w_ref[r, 0],
+                w_ref[r, 1],
+                precision,
+            )
+            for r in range(R)
+        ]
+        combined = _butterfly(u, phases, inv_sqrt_r)
+        for a in range(R):
+            or_ref[0, :, a * LEAF : (a + 1) * LEAF] = combined[a][0]
+            oi_ref[0, :, a * LEAF : (a + 1) * LEAF] = combined[a][1]
+
+
+def _fused_kernel_real_fwd(xr_ref, w_ref, or_ref, oi_ref, sr_ref, si_ref, *, R, precision):
+    """Fused forward for REAL input: real lane stage (half the arithmetic,
+    zero imag plane never read) into scratch, complex sublane stage out."""
+    phases = _radix_phases(R, inverse=False)
+    inv_sqrt_r = 1.0 / math.sqrt(R)
+    dot = functools.partial(
+        jnp.dot, preferred_element_type=xr_ref.dtype, precision=precision
+    )
+    chunks = [xr_ref[0, :, a * LEAF : (a + 1) * LEAF] for a in range(R)]
+    for r in range(R):
+        sre = None
+        sim = None
+        for a, x in enumerate(chunks):
+            w = phases[r][a]
+            tre = _scale_add(x, w.real, x, 0.0)
+            tim = _scale_add(x, w.imag, x, 0.0)
+            sre = tre if sre is None else sre + tre
+            sim = tim if sim is None else sim + tim
+        sre = sre * inv_sqrt_r
+        sim = sim * inv_sqrt_r
+        sr_ref[:, r * LEAF : (r + 1) * LEAF] = dot(sre, w_ref[r, 0]) - dot(
+            sim, w_ref[r, 1]
+        )
+        si_ref[:, r * LEAF : (r + 1) * LEAF] = dot(sre, w_ref[r, 1]) + dot(
+            sim, w_ref[r, 0]
+        )
+    chunks = [
+        (sr_ref[a * LEAF : (a + 1) * LEAF, :], si_ref[a * LEAF : (a + 1) * LEAF, :])
+        for a in range(R)
+    ]
+    s = _butterfly(chunks, phases, inv_sqrt_r)
+    for r in range(R):
+        yre, yim = _cmatmul_t(w_ref[r, 0], w_ref[r, 1], s[r][0], s[r][1], precision)
+        or_ref[0, r * LEAF : (r + 1) * LEAF, :] = yre
+        oi_ref[0, r * LEAF : (r + 1) * LEAF, :] = yim
+
+
+def _fused_kernel_real_inv(
+    xr_ref, xi_ref, w_ref, or_ref, sr_ref, si_ref, *, R, precision
+):
+    """Fused inverse emitting only the REAL plane: complex sublane inverse
+    into scratch, real-output lane inverse out (half its arithmetic)."""
+    phases = _radix_phases(R, inverse=True)
+    inv_sqrt_r = 1.0 / math.sqrt(R)
+    dot = functools.partial(
+        jnp.dot, preferred_element_type=xr_ref.dtype, precision=precision
+    )
+    u = [
+        _cmatmul_t(
+            w_ref[r, 0],
+            w_ref[r, 1],
+            xr_ref[0, r * LEAF : (r + 1) * LEAF, :],
+            xi_ref[0, r * LEAF : (r + 1) * LEAF, :],
+            precision,
+        )
+        for r in range(R)
+    ]
+    combined = _butterfly(u, phases, inv_sqrt_r)
+    for a in range(R):
+        sr_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][0]
+        si_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][1]
+    u = []
+    for r in range(R):
+        xre = sr_ref[:, r * LEAF : (r + 1) * LEAF]
+        xim = si_ref[:, r * LEAF : (r + 1) * LEAF]
+        # Re(U_r) and Im(U_r) are both needed by the butterfly's complex
+        # phases; only the final output drops the imag plane.
+        u.append(
+            (
+                dot(xre, w_ref[r, 0]) - dot(xim, w_ref[r, 1]),
+                dot(xre, w_ref[r, 1]) + dot(xim, w_ref[r, 0]),
+            )
+        )
+    for a in range(R):
+        acc = None
+        for r in range(R):
+            w = phases[a][r]
+            t = _scale_add(u[r][0], w.real, u[r][1], -w.imag)
+            acc = t if acc is None else acc + t
+        or_ref[0, :, a * LEAF : (a + 1) * LEAF] = acc * inv_sqrt_r
+
+
+# ---------------------------------------------------------------------------
 # Per-axis passes (planar in, planar out)
 # ---------------------------------------------------------------------------
 
 
 def _precision():
-    return jax.lax.Precision.HIGHEST
+    return _PRECISION
 
 
 def _axis_pass_lane(xr, xi, size: int, inverse: bool):
@@ -432,6 +739,43 @@ def _axis_pass_lane_real(xr_or_pair, size: int, inverse: bool):
     return out.reshape(lead + (size,))
 
 
+def _axis_pass_fused2(xr, xi, inverse: bool):
+    """Transform the last TWO axes (both of size shape[-1]) in one pass."""
+    size = xr.shape[-1]
+    assert xr.shape[-2] == size
+    R = size // LEAF
+    w = jnp.asarray(_matrices(size, inverse, xr.dtype.name))
+    lead = xr.shape[:-2]
+    m = int(np.prod(lead)) if lead else 1
+    xr3 = xr.reshape(m, size, size)
+    xi3 = xi.reshape(m, size, size)
+    spec = pl.BlockSpec((1, size, size), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(
+        (R, 2, LEAF, LEAF), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(
+        _fused_kernel, R=R, inverse=inverse, precision=_precision()
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(m,),
+        in_specs=[spec, spec, wspec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, size, size), xr.dtype),
+            jax.ShapeDtypeStruct((m, size, size), xr.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((size, size), xr.dtype),
+            pltpu.VMEM((size, size), xr.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(xr3, xi3, w)
+    shape = lead + (size, size)
+    return out[0].reshape(shape), out[1].reshape(shape)
+
+
 def _axis_pass_sublane(xr, xi, axis: int, inverse: bool):
     """Transform axis `axis` (not the last) of planar arrays."""
     size = xr.shape[axis]
@@ -445,9 +789,12 @@ def _axis_pass_sublane(xr, xi, axis: int, inverse: bool):
     assert lanes % LEAF == 0, "trailing extent must be a multiple of 128"
     xr3 = xr.reshape(b1, size, lanes)
     xi3 = xi.reshape(b1, size, lanes)
-    grid = (b1, lanes // LEAF)
+    width = min(_SUBLANE_LANES, lanes)
+    while lanes % width:
+        width -= LEAF
+    grid = (b1, lanes // width)
     spec = pl.BlockSpec(
-        (1, size, LEAF), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        (1, size, width), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
     )
     wspec = pl.BlockSpec(
         (R, 2, LEAF, LEAF), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM
@@ -476,10 +823,19 @@ def _axis_pass_sublane(xr, xi, axis: int, inverse: bool):
 # ---------------------------------------------------------------------------
 
 
+def _fuse2_ok(shape, dims: int) -> bool:
+    return _FUSE2 and dims >= 2 and shape[-2] == shape[-1]
+
+
 def forward_engine(psi: jnp.ndarray, dims: int) -> jnp.ndarray:
     """Ortho forward FFT over the last `dims` axes; k in ENGINE order."""
     xr = jnp.real(psi)
     xi = jnp.imag(psi)
+    if _fuse2_ok(psi.shape, dims):
+        xr, xi = _axis_pass_fused2(xr, xi, inverse=False)
+        for ax in range(psi.ndim - dims, psi.ndim - 2):
+            xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=False)
+        return jax.lax.complex(xr, xi)
     xr, xi = _axis_pass_lane(xr, xi, psi.shape[-1], inverse=False)
     for ax in range(psi.ndim - dims, psi.ndim - 1):
         xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=False)
@@ -490,15 +846,75 @@ def inverse_engine(psik: jnp.ndarray, dims: int) -> jnp.ndarray:
     """Ortho inverse FFT from ENGINE-order k to natural x."""
     xr = jnp.real(psik)
     xi = jnp.imag(psik)
+    if _fuse2_ok(psik.shape, dims):
+        for ax in range(psik.ndim - dims, psik.ndim - 2):
+            xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=True)
+        xr, xi = _axis_pass_fused2(xr, xi, inverse=True)
+        return jax.lax.complex(xr, xi)
     for ax in range(psik.ndim - dims, psik.ndim - 1):
         xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=True)
     xr, xi = _axis_pass_lane(xr, xi, psik.shape[-1], inverse=True)
     return jax.lax.complex(xr, xi)
 
 
+def _axis_pass_fused2_real(x_or_pair, inverse: bool):
+    """Fused last-two-axes pass, real input (forward) / real output (inverse)."""
+    if inverse:
+        xr, xi = x_or_pair
+    else:
+        xr, xi = x_or_pair, None
+    size = xr.shape[-1]
+    assert xr.shape[-2] == size
+    R = size // LEAF
+    w = jnp.asarray(_matrices(size, inverse, xr.dtype.name))
+    lead = xr.shape[:-2]
+    m = int(np.prod(lead)) if lead else 1
+    spec = pl.BlockSpec((1, size, size), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(
+        (R, 2, LEAF, LEAF), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    common = dict(
+        grid=(m,),
+        scratch_shapes=[
+            pltpu.VMEM((size, size), xr.dtype),
+            pltpu.VMEM((size, size), xr.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )
+    if not inverse:
+        kern = functools.partial(_fused_kernel_real_fwd, R=R, precision=_precision())
+        out = pl.pallas_call(
+            kern,
+            in_specs=[spec, wspec],
+            out_specs=[spec, spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((m, size, size), xr.dtype),
+                jax.ShapeDtypeStruct((m, size, size), xr.dtype),
+            ],
+            **common,
+        )(xr.reshape(m, size, size), w)
+        shape = lead + (size, size)
+        return out[0].reshape(shape), out[1].reshape(shape)
+    kern = functools.partial(_fused_kernel_real_inv, R=R, precision=_precision())
+    out = pl.pallas_call(
+        kern,
+        in_specs=[spec, spec, wspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((m, size, size), xr.dtype),
+        **common,
+    )(xr.reshape(m, size, size), xi.reshape(m, size, size), w)
+    return out.reshape(lead + (size, size))
+
+
 def forward_engine_real(rho: jnp.ndarray, dims: int) -> jnp.ndarray:
     """Ortho forward FFT of a REAL field (the Poisson density): the first
     (lane) pass skips the zero imaginary plane — half its arithmetic."""
+    if _fuse2_ok(rho.shape, dims):
+        xr, xi = _axis_pass_fused2_real(rho, inverse=False)
+        for ax in range(rho.ndim - dims, rho.ndim - 2):
+            xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=False)
+        return jax.lax.complex(xr, xi)
     xr, xi = _axis_pass_lane_real(rho, rho.shape[-1], inverse=False)
     for ax in range(rho.ndim - dims, rho.ndim - 1):
         xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=False)
@@ -511,6 +927,10 @@ def inverse_engine_real(phik: jnp.ndarray, dims: int) -> jnp.ndarray:
     pass emits one plane — half its arithmetic."""
     xr = jnp.real(phik)
     xi = jnp.imag(phik)
+    if _fuse2_ok(phik.shape, dims):
+        for ax in range(phik.ndim - dims, phik.ndim - 2):
+            xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=True)
+        return _axis_pass_fused2_real((xr, xi), inverse=True)
     for ax in range(phik.ndim - dims, phik.ndim - 1):
         xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=True)
     return _axis_pass_lane_real((xr, xi), phik.shape[-1], inverse=True)
