@@ -776,6 +776,188 @@ def _axis_pass_fused2(xr, xi, inverse: bool):
     return out[0].reshape(shape), out[1].reshape(shape)
 
 
+def _sublane_view(xr, axis: int):
+    """(b1, size, lanes) view params for a sublane pass over `axis`."""
+    axis = axis % xr.ndim
+    size = xr.shape[axis]
+    lead = xr.shape[:axis]
+    trail = xr.shape[axis + 1 :]
+    b1 = int(np.prod(lead)) if lead else 1
+    lanes = int(np.prod(trail)) if trail else 1
+    assert lanes % LEAF == 0, "trailing extent must be a multiple of 128"
+    width = min(_SUBLANE_LANES, lanes)
+    while lanes % width:
+        width -= LEAF
+    return size, b1, lanes, width
+
+
+def _axis_pass_sublane_inv_kphase(xr, xi, axis: int, spec, coeff):
+    """Inverse sublane pass fused with the exp(i*coeff_b*spec) pre-multiply.
+
+    spec is a k-space constant grid in ENGINE order (broadcast over the
+    batch); coeff has one scalar per leading batch element (or is scalar).
+    """
+    size, b1, lanes, width = _sublane_view(xr, axis)
+    R = size // LEAF
+    w = jnp.asarray(_matrices(size, True, xr.dtype.name))
+    xr3 = xr.reshape(b1, size, lanes)
+    xi3 = xi.reshape(b1, size, lanes)
+    spec3 = jnp.asarray(spec, xr.dtype).reshape(1, size, lanes)
+    coeff = jnp.broadcast_to(jnp.asarray(coeff, xr.dtype).reshape(-1), (b1,))
+    grid = (b1, lanes // width)
+    spec_x = pl.BlockSpec(
+        (1, size, width), lambda i, j, *_refs: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    spec_s = pl.BlockSpec(
+        (1, size, width), lambda i, j, *_refs: (0, 0, j), memory_space=pltpu.VMEM
+    )
+    wspec = pl.BlockSpec(
+        (R, 2, LEAF, LEAF), lambda i, j, *_refs: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(
+        _sublane_kernel_inv_kphase, R=R, precision=_precision()
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[spec_x, spec_x, wspec, spec_s],
+            out_specs=[spec_x, spec_x],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
+            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(coeff, xr3, xi3, w, spec3)
+    return out[0].reshape(xr.shape), out[1].reshape(xr.shape)
+
+
+def _axis_pass_sublane_inv_pmap(xr, xi, axis: int, pmap):
+    """Inverse sublane pass fused with a real k-space map multiply (the
+    Poisson -coeff/k^2 with k=0 zeroed, in ENGINE order)."""
+    size, b1, lanes, width = _sublane_view(xr, axis)
+    R = size // LEAF
+    w = jnp.asarray(_matrices(size, True, xr.dtype.name))
+    xr3 = xr.reshape(b1, size, lanes)
+    xi3 = xi.reshape(b1, size, lanes)
+    pmap3 = jnp.asarray(pmap, xr.dtype).reshape(1, size, lanes)
+    grid = (b1, lanes // width)
+    spec_x = pl.BlockSpec(
+        (1, size, width), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    spec_m = pl.BlockSpec(
+        (1, size, width), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM
+    )
+    wspec = pl.BlockSpec(
+        (R, 2, LEAF, LEAF), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(_sublane_kernel_inv_pmap, R=R, precision=_precision())
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[spec_x, spec_x, wspec, spec_m],
+        out_specs=[spec_x, spec_x],
+        out_shape=[
+            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
+            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(xr3, xi3, w, pmap3)
+    return out[0].reshape(xr.shape), out[1].reshape(xr.shape)
+
+
+def _axis_pass_fused2_fwd_xphase(xr, xi, phi, coeff):
+    """Fused2 forward pass fused with the exp(i*coeff_b*phi) pre-multiply."""
+    size = xr.shape[-1]
+    assert xr.shape[-2] == size
+    R = size // LEAF
+    w = jnp.asarray(_matrices(size, False, xr.dtype.name))
+    lead = xr.shape[:-2]
+    m = int(np.prod(lead)) if lead else 1
+    coeff = jnp.asarray(coeff, xr.dtype).reshape(-1)
+    b = coeff.shape[0]
+    assert m % b == 0
+    n0 = m // b
+    xr3 = xr.reshape(m, size, size)
+    xi3 = xi.reshape(m, size, size)
+    phi3 = jnp.broadcast_to(jnp.asarray(phi, xr.dtype), xr.shape).reshape(
+        m, size, size
+    )
+    spec = pl.BlockSpec(
+        (1, size, size), lambda i, *_refs: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    wspec = pl.BlockSpec(
+        (R, 2, LEAF, LEAF), lambda i, *_refs: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(
+        _fused_kernel_fwd_xphase, R=R, n0=n0, precision=_precision()
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(m,),
+            in_specs=[spec, spec, wspec, spec],
+            out_specs=[spec, spec],
+            scratch_shapes=[
+                pltpu.VMEM((size, size), xr.dtype),
+                pltpu.VMEM((size, size), xr.dtype),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((m, size, size), xr.dtype),
+            jax.ShapeDtypeStruct((m, size, size), xr.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(coeff, xr3, xi3, w, phi3)
+    shape = lead + (size, size)
+    return out[0].reshape(shape), out[1].reshape(shape)
+
+
+def _axis_pass_fused2_density(pr, pi, prefactor: float):
+    """Fused2 real-forward pass whose input is rho = prefactor*|psi|^2,
+    synthesized from the psi planes in-register."""
+    size = pr.shape[-1]
+    assert pr.shape[-2] == size
+    R = size // LEAF
+    w = jnp.asarray(_matrices(size, False, pr.dtype.name))
+    lead = pr.shape[:-2]
+    m = int(np.prod(lead)) if lead else 1
+    spec = pl.BlockSpec((1, size, size), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(
+        (R, 2, LEAF, LEAF), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(
+        _fused_kernel_density_fwd,
+        R=R,
+        prefactor=float(prefactor),
+        precision=_precision(),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(m,),
+        in_specs=[spec, spec, wspec],
+        out_specs=[spec, spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((m, size, size), pr.dtype),
+            jax.ShapeDtypeStruct((m, size, size), pr.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((size, size), pr.dtype),
+            pltpu.VMEM((size, size), pr.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(pr.reshape(m, size, size), pi.reshape(m, size, size), w)
+    shape = lead + (size, size)
+    return out[0].reshape(shape), out[1].reshape(shape)
+
+
 def _axis_pass_sublane(xr, xi, axis: int, inverse: bool):
     """Transform axis `axis` (not the last) of planar arrays."""
     size = xr.shape[axis]
@@ -827,30 +1009,74 @@ def _fuse2_ok(shape, dims: int) -> bool:
     return _FUSE2 and dims >= 2 and shape[-2] == shape[-1]
 
 
-def forward_engine(psi: jnp.ndarray, dims: int) -> jnp.ndarray:
-    """Ortho forward FFT over the last `dims` axes; k in ENGINE order."""
+def forward_engine(
+    psi: jnp.ndarray, dims: int, *, xphase=None
+) -> jnp.ndarray:
+    """Ortho forward FFT over the last `dims` axes; k in ENGINE order.
+
+    xphase=(phi, coeff): pre-multiply psi by exp(i*coeff_b*phi) — the
+    potential kick (update :535-545) fused into the transform's first
+    read of psi (dims==3 fused path; XLA pre-multiply otherwise).
+    """
     xr = jnp.real(psi)
     xi = jnp.imag(psi)
     if _fuse2_ok(psi.shape, dims):
-        xr, xi = _axis_pass_fused2(xr, xi, inverse=False)
+        if xphase is not None and dims == 3:
+            xr, xi = _axis_pass_fused2_fwd_xphase(xr, xi, *xphase)
+        else:
+            if xphase is not None:
+                xr, xi = _xla_phase(xr, xi, *xphase)
+            xr, xi = _axis_pass_fused2(xr, xi, inverse=False)
         for ax in range(psi.ndim - dims, psi.ndim - 2):
             xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=False)
         return jax.lax.complex(xr, xi)
+    if xphase is not None:
+        xr, xi = _xla_phase(xr, xi, *xphase)
     xr, xi = _axis_pass_lane(xr, xi, psi.shape[-1], inverse=False)
     for ax in range(psi.ndim - dims, psi.ndim - 1):
         xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=False)
     return jax.lax.complex(xr, xi)
 
 
-def inverse_engine(psik: jnp.ndarray, dims: int) -> jnp.ndarray:
-    """Ortho inverse FFT from ENGINE-order k to natural x."""
+def _xla_phase(xr, xi, field, coeff):
+    """Fallback exp(i*coeff*field) rotation on planar arrays (XLA fuses)."""
+    c = jnp.asarray(coeff, xr.dtype)
+    c = c.reshape(c.shape + (1,) * (xr.ndim - c.ndim))
+    ang = c * jnp.asarray(field, xr.dtype)
+    cs = jnp.cos(ang)
+    sn = jnp.sin(ang)
+    return xr * cs - xi * sn, xi * cs + xr * sn
+
+
+def inverse_engine(
+    psik: jnp.ndarray, dims: int, *, kphase=None
+) -> jnp.ndarray:
+    """Ortho inverse FFT from ENGINE-order k to natural x.
+
+    kphase=(spec, coeff): pre-multiply psik by exp(i*coeff_b*spec) — the
+    kinetic half-kick (update :504-516) fused into the transform's first
+    read of psik (spec in ENGINE order; dims==3 fused path, XLA otherwise).
+    """
     xr = jnp.real(psik)
     xi = jnp.imag(psik)
     if _fuse2_ok(psik.shape, dims):
+        first = True
         for ax in range(psik.ndim - dims, psik.ndim - 2):
-            xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=True)
+            if first and kphase is not None and dims == 3:
+                xr, xi = _axis_pass_sublane_inv_kphase(
+                    xr, xi, ax, kphase[0], kphase[1]
+                )
+            else:
+                if first and kphase is not None:
+                    xr, xi = _xla_phase(xr, xi, *kphase)
+                xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=True)
+            first = False
+        if first and kphase is not None:
+            xr, xi = _xla_phase(xr, xi, *kphase)
         xr, xi = _axis_pass_fused2(xr, xi, inverse=True)
         return jax.lax.complex(xr, xi)
+    if kphase is not None:
+        xr, xi = _xla_phase(xr, xi, *kphase)
     for ax in range(psik.ndim - dims, psik.ndim - 1):
         xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=True)
     xr, xi = _axis_pass_lane(xr, xi, psik.shape[-1], inverse=True)
@@ -921,16 +1147,54 @@ def forward_engine_real(rho: jnp.ndarray, dims: int) -> jnp.ndarray:
     return jax.lax.complex(xr, xi)
 
 
-def inverse_engine_real(phik: jnp.ndarray, dims: int) -> jnp.ndarray:
+def forward_engine_density(
+    psi: jnp.ndarray, dims: int, prefactor: float
+) -> jnp.ndarray:
+    """Ortho forward FFT of rho = prefactor * |psi|^2 (calculate_density
+    :1031-1063) with the density synthesized from the psi planes inside the
+    first kernel pass — rho never touches HBM (dims==3 fused path)."""
+    pr = jnp.real(psi)
+    pi = jnp.imag(psi)
+    if _fuse2_ok(psi.shape, dims) and dims == 3:
+        xr, xi = _axis_pass_fused2_density(pr, pi, prefactor)
+        for ax in range(psi.ndim - dims, psi.ndim - 2):
+            xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=False)
+        return jax.lax.complex(xr, xi)
+    rho = jnp.asarray(prefactor, pr.dtype) * (pr * pr + pi * pi)
+    return forward_engine_real(rho, dims)
+
+
+def inverse_engine_real(
+    phik: jnp.ndarray, dims: int, *, pmap=None
+) -> jnp.ndarray:
     """Ortho inverse FFT keeping only the REAL part (the potential,
     phi = Re F^-1[phi_k], calculate_potential :1109): the final (lane)
-    pass emits one plane — half its arithmetic."""
+    pass emits one plane — half its arithmetic.
+
+    pmap: real k-space map in ENGINE order multiplied into phik on the
+    transform's first read (the Poisson -coeff/k^2, k=0 zeroed, multiply,
+    :1076-1102); fused in the dims==3 path, XLA elementwise otherwise.
+    """
     xr = jnp.real(phik)
     xi = jnp.imag(phik)
     if _fuse2_ok(phik.shape, dims):
+        first = True
         for ax in range(phik.ndim - dims, phik.ndim - 2):
-            xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=True)
+            if first and pmap is not None and dims == 3:
+                xr, xi = _axis_pass_sublane_inv_pmap(xr, xi, ax, pmap)
+            else:
+                if first and pmap is not None:
+                    m = jnp.asarray(pmap, xr.dtype)
+                    xr, xi = xr * m, xi * m
+                xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=True)
+            first = False
+        if first and pmap is not None:
+            m = jnp.asarray(pmap, xr.dtype)
+            xr, xi = xr * m, xi * m
         return _axis_pass_fused2_real((xr, xi), inverse=True)
+    if pmap is not None:
+        m = jnp.asarray(pmap, xr.dtype)
+        xr, xi = xr * m, xi * m
     for ax in range(phik.ndim - dims, phik.ndim - 1):
         xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=True)
     return _axis_pass_lane_real((xr, xi), phik.shape[-1], inverse=True)

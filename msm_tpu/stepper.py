@@ -31,6 +31,7 @@ Architecture (deliberately not a port):
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -86,6 +87,10 @@ class StepConsts:
     alias_mask: jax.Array
     tau_dumps: jax.Array
     spec_grid_r: jax.Array  # half-spectrum k^2 for the rfft Poisson path
+    # -poisson_coeff/k^2 (k=0 zeroed) in ENGINE order, consumed inside the
+    # MXU FFT's first inverse pass (mxu_fft.inverse_engine_real pmap);
+    # None outside the fused-phase path.
+    poisson_map: "jax.Array | None" = None
 
 
 class Stepper:
@@ -161,6 +166,16 @@ class Stepper:
         if self.use_mxu:
             spec = mxu_fft.permute_spec(spec, p.dims)
             mask = mxu_fft.permute_spec(mask, p.dims)
+        # Fused-phase fast path: the step's elementwise interludes (kinetic
+        # kick, potential kick, density, Poisson multiply) ride inside the
+        # MXU FFT kernels' first passes — whole HBM passes removed from the
+        # DMA-bound step. 3-D only (mxu_fft fused kernels).
+        self.fuse_phases = (
+            self.use_mxu
+            and p.dims == 3
+            and mxu_fft._FUSE2
+            and os.environ.get("MSM_FUSE_PHASES", "1") not in ("0", "false")
+        )
 
         # Dump schedule: t_dump[i] = t0 + i * T / num_dumps. The reference
         # mis-schedules dumps when `time != 0` (its "TODO: fix for
@@ -202,11 +217,16 @@ class Stepper:
         # embedded in the serialized program as a literal (the remote AOT
         # compiler rejects the payload; smaller grids still pay compile
         # time proportional to the embedded megabytes).
+        poisson_map = None
+        if self.fuse_phases:
+            inv_k2 = np.where(spec > 0.0, 1.0, 0.0) / np.where(spec > 0.0, spec, 1.0)
+            poisson_map = jnp.asarray(-self.poisson_coeff * inv_k2, self.rdtype)
         self.consts = StepConsts(
             spec_grid=jnp.asarray(spec, self.rdtype),
             alias_mask=jnp.asarray(mask, self.rdtype),
             tau_dumps=jnp.asarray(tau_dumps, self.tdtype),
             spec_grid_r=jnp.asarray(spec[..., : p.size // 2 + 1], self.rdtype),
+            poisson_map=poisson_map,
         )
 
         # Everything device-side is jitted: on the axon TPU backend eager
@@ -323,6 +343,28 @@ class Stepper:
             )
         return apply_potential_phase(psi, phi, self._bcast(coeff))
 
+    def _inv_with_kick(self, psik, coeff, consts: StepConsts):
+        """F^-1[exp(i*coeff*k^2) * psik] — the opening kinetic half-kick
+        (update :504-516) fused into the inverse transform's first read of
+        psik on the fused-phase path (no standalone k-space HBM pass)."""
+        if self.fuse_phases:
+            from .ops import mxu_fft
+
+            return mxu_fft.inverse_engine(
+                psik, self.params.dims, kphase=(consts.spec_grid, coeff)
+            )
+        return self._inv(self._apply_kinetic(psik, coeff, consts))
+
+    def _fwd_with_kick(self, psi, phi, coeff):
+        """F[exp(i*coeff*phi) * psi] — the potential kick (update :535-545)
+        fused into the forward transform's first read of psi on the
+        fused-phase path."""
+        if self.fuse_phases:
+            from .ops import mxu_fft
+
+            return mxu_fft.forward_engine(psi, self.params.dims, xphase=(phi, coeff))
+        return self._fwd(self._apply_potential(psi, phi, coeff))
+
     def _poisson_multiply(self, rho_k, consts: StepConsts):
         """phi_k = -poisson_coeff * rho_k / k^2 with the k=0 mode zeroed."""
         if self.use_pallas:
@@ -431,13 +473,26 @@ class Stepper:
         are defined on the full spectrum).
         """
         consts = consts if consts is not None else self.consts
-        rho = jnp.asarray(self.density_prefactor, self.rdtype) * jnp.real(
-            psi * jnp.conj(psi)
-        )
         # MXU engine path: real-input forward + real-output inverse Pallas
         # transforms (mxu_fft real variants) with the engine-permuted k^2
         # constants; keeps the whole step graph on Pallas kernels (a mixed
         # rfft+Pallas graph risks the round-1 remote-AOT stall).
+        if self.use_mxu:
+            from .ops import mxu_fft
+
+            if self.fuse_phases:
+                # rho is synthesized from the psi planes inside the forward
+                # kernel (never hits HBM); the Poisson -coeff/k^2 map rides
+                # the inverse transform's first read of rho_k.
+                rho_k = mxu_fft.forward_engine_density(
+                    psi, self.params.dims, self.density_prefactor
+                )
+                return mxu_fft.inverse_engine_real(
+                    rho_k, self.params.dims, pmap=consts.poisson_map
+                )
+        rho = jnp.asarray(self.density_prefactor, self.rdtype) * jnp.real(
+            psi * jnp.conj(psi)
+        )
         if self.use_mxu:
             from .ops import mxu_fft
 
@@ -556,13 +611,11 @@ class Stepper:
 
         # Half kick in k-space: exp(-i * dt/4 * hbar_ * k^2) (:504-516),
         # merged with any half-kick deferred by the previous step (lagged)
-        psik = self._apply_kinetic(state.psik, state.pending_k + kcoeff, consts)
-        psi = self._inv(psik)
+        psi = self._inv_with_kick(state.psik, state.pending_k + kcoeff, consts)
         # Full potential kick at the half-step: exp(-i * dt/hbar_ * phi) (:530-545)
         phi = self._potential(psi, consts)
         phi_max = self._spatial_max(jnp.abs(phi)).astype(self.tdtype)
-        psi = self._apply_potential(psi, phi, vcoeff)
-        psik = self._fwd(psi)
+        psik = self._fwd_with_kick(psi, phi, vcoeff)
         # Second half kick (:562-574), deferred on lagged non-dump steps
         psi, psik, pending = self._finalize_step(
             psik, state.psi, is_dump, kcoeff, consts
@@ -603,19 +656,28 @@ class Stepper:
             dtau, is_dump = self._timestep(None, state, consts)
         kcoeff = (-dtau / 4.0).astype(self.rdtype)
 
-        psik = self._apply_kinetic(state.psik, state.pending_k + kcoeff, consts)
-        psi = self._inv(psik)
+        psi = self._inv_with_kick(state.psik, state.pending_k + kcoeff, consts)
         phi = self._potential(psi, consts)
         phi_max = self._spatial_max(jnp.abs(phi)).astype(self.tdtype)
 
+        # Both half-kicks rotate by the SAME phi (only the a-dependent
+        # coefficient differs), so on the fused path they collapse to one
+        # rotation exp(i*(v1+v2)*phi) inside the forward transform.
         a, t, tau = state.a, state.time, state.tau
+        vtot = None
         for _ in range(2):
             vcoeff = ((-dtau / 2.0) * a).astype(self.rdtype)
-            psi = self._apply_potential(psi, phi, vcoeff)
+            if self.fuse_phases:
+                vtot = vcoeff if vtot is None else vtot + vcoeff
+            else:
+                psi = self._apply_potential(psi, phi, vcoeff)
             a, t = cosmo_mod.advance_a_t_by_dtau(a, t, dtau / 2.0, c)
             tau = tau + dtau / 2.0
 
-        psik = self._fwd(psi)
+        if self.fuse_phases:
+            psik = self._fwd_with_kick(psi, phi, vtot)
+        else:
+            psik = self._fwd(psi)
         psi, psik, pending = self._finalize_step(
             psik, state.psi, is_dump, kcoeff, consts
         )

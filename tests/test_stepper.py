@@ -286,3 +286,89 @@ def test_lagged_kick_fusion_consistency():
     s_mid = st_l.step(sl)
     if not bool(np.asarray(s_mid.just_dumped).any()):
         assert float(jnp.abs(s_mid.pending_k).max()) > 0.0
+
+def test_fused_phase_stepper_equivalence_3d():
+    """The fused-phase MXU path (kinetic kick, potential kick, density and
+    Poisson multiply riding inside the FFT kernels' first passes,
+    stepper.fuse_phases) must reproduce the XLA trajectories. Covers the
+    lagged pending-kick merge, a batched state, and the expanding step's
+    combined double half-kick (update :504-516, :535-545, :726-760)."""
+    from msm_tpu.ops import mxu_fft
+
+    p = _params(
+        dims=3, size=128, cfl=0.03, num_data_dumps=2, final_sim_time=4.0
+    )
+    psi0 = np.asarray(ics.build_ics(p))
+    psib = np.stack([psi0, np.roll(psi0, 7, axis=0)])
+
+    st_ref = Stepper(p, jnp.complex128, dt_mode="lagged")
+    s_ref = st_ref.init_state(psib)
+    for _ in range(2):
+        s_ref = st_ref.step(s_ref)
+    assert float(jnp.abs(s_ref.pending_k).max()) > 0.0  # mid-interval defer
+
+    fft.set_default_mode("mxu")
+    try:
+        st = Stepper(p, jnp.complex128, dt_mode="lagged")
+        assert st.use_mxu and st.fuse_phases
+        s = st.init_state(psib)
+        for _ in range(2):
+            s = st.step(s)
+    finally:
+        fft.set_default_mode("xla")
+
+    np.testing.assert_allclose(
+        np.asarray(mxu_fft.to_natural(s.psik, 3)),
+        np.asarray(s_ref.psik),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s.pending_k), np.asarray(s_ref.pending_k), rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(s.phi_max), np.asarray(s_ref.phi_max), rtol=1e-11
+    )
+
+
+def test_fused_phase_stepper_equivalence_expanding():
+    """Expanding fused step: exp(i*v1*phi)*exp(i*v2*phi) collapses to one
+    exp(i*(v1+v2)*phi) rotation inside the forward kernel; trajectories
+    must match the two-rotation XLA path."""
+    import math
+
+    from msm_tpu.constants import LITTLE_H_TO_BIG_H, POIS_CONST
+
+    hbar_, h, z0 = 0.01, 0.5, 19.0
+    cosmo = cfg.CosmologyConfig(
+        omega_matter_now=1.0, omega_radiation_now=0.0, h=h, z0=z0, max_dloga=0.005
+    )
+    h0 = h * LITTLE_H_TO_BIG_H
+    box_sc = 100.0
+    L_p = box_sc / math.sqrt(math.sqrt(1.5 * h0**2) / hbar_) / (1.0 + z0)
+    total_mass = box_sc**3 * hbar_**1.5 / (POIS_CONST * (2.0 / (3.0 * h0**2)) ** 0.25)
+    p = _params(
+        dims=3,
+        size=128,
+        L=L_p,
+        hbar_=hbar_,
+        total_mass=total_mass,
+        final_sim_time=50.0,
+        num_data_dumps=4,
+        cosmology=cosmo,
+    )
+    assert p.expanding
+    psi0 = np.asarray(ics.build_ics(p))
+
+    st_ref = Stepper(p, jnp.complex128)
+    s_ref = st_ref.step(st_ref.init_state(psi0))
+    fft.set_default_mode("mxu")
+    try:
+        st = Stepper(p, jnp.complex128)
+        assert st.fuse_phases
+        s = st.step(st.init_state(psi0))
+    finally:
+        fft.set_default_mode("xla")
+
+    np.testing.assert_allclose(np.asarray(s.psi), np.asarray(s_ref.psi), atol=1e-13)
+    assert float(s.a) == pytest.approx(float(s_ref.a), rel=1e-14)
+    assert float(s.tau) == pytest.approx(float(s_ref.tau), rel=1e-11)
