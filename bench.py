@@ -20,6 +20,13 @@ def main() -> None:
     parser.add_argument("--streams", type=int, default=1)
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument(
+        "--dt-mode",
+        choices=("exact", "lagged"),
+        default="lagged",
+        dest="dt_mode",
+        help="lagged (--fast-dt production path, default) or exact",
+    )
+    parser.add_argument(
         "--metric",
         choices=("kdk", "streams", "scaling"),
         default="kdk",

@@ -61,7 +61,11 @@ _SUBLANE_LANES = 512
 # MXU precision for the DFT matmuls. HIGHEST = 6-pass bf16 decomposition
 # (exact f32); HIGH = 3-pass (drops the lowest cross term) — 2x the MXU
 # throughput for a modestly higher noise floor. See _precision().
-_PRECISION = jax.lax.Precision.HIGHEST
+# MSM_MXU_PRECISION=high|highest overrides at import time.
+_PRECISION = {
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}[__import__("os").environ.get("MSM_MXU_PRECISION", "highest")]
 
 # Fuse the last TWO axes into one kernel pass ((1, N, N) blocks with a VMEM
 # scratch intermediate): a 3-D transform becomes 2 HBM passes instead of 3

@@ -23,7 +23,11 @@ def estimate_sol_updates_per_s(bytes_per_cell: int = 8) -> float:
     return hbm_gbps * 1e9 / (passes * bytes_per_cell)
 
 
-def run_kdk_bench(size: int, dims: int, streams: int, steps: int) -> dict:
+def run_kdk_bench(
+    size: int, dims: int, streams: int, steps: int, dt_mode: str = "lagged"
+) -> dict:
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -34,7 +38,15 @@ def run_kdk_bench(size: int, dims: int, streams: int, steps: int) -> dict:
 
     from .. import config as cfg
     from ..models.ics import build_ics
+    from ..ops import fft as fft_ops
     from ..stepper import Stepper
+
+    # Headline = the production fast path: MSM_FFT=auto (the Pallas MXU
+    # CT-matmul transforms with fused step phases on TPU) + lagged dt
+    # (--fast-dt: one Poisson solve per step, closing half-kick deferred).
+    # Both resolve to the plain XLA/exact path off-TPU or via env/flag.
+    if os.environ.get("MSM_FFT") is None:
+        fft_ops.set_default_mode("auto")
 
     toml = cfg.TomlParameters(
         axis_length=30.0,
@@ -51,7 +63,7 @@ def run_kdk_bench(size: int, dims: int, streams: int, steps: int) -> dict:
         hbar_=0.05,
     )
     params = cfg.resolve_parameters(toml)
-    stepper = Stepper(params, jnp.complex64)
+    stepper = Stepper(params, jnp.complex64, dt_mode=dt_mode)
 
     psi0 = build_ics(params)
     if streams > 1:
@@ -94,6 +106,9 @@ def run_kdk_bench(size: int, dims: int, streams: int, steps: int) -> dict:
         "unit": f"cell-updates/s (size={size}^{dims} x {streams} streams, c64 KDK)",
         "vs_baseline": round(updates_per_s / estimate_sol_updates_per_s(), 4),
         "steps_per_s": round(steps / elapsed, 3),
+        "dt_mode": dt_mode,
+        "fft_mode": fft_ops.get_mode(size),
+        "fused_phases": bool(getattr(stepper, "fuse_phases", False)),
     }
 
 
@@ -266,4 +281,14 @@ def main(args) -> None:
     if metric == "scaling":
         print(json.dumps(run_scaling_bench(size=args.size, steps=args.steps)))
         return
-    print(json.dumps(run_kdk_bench(args.size, args.dims, args.streams, args.steps)))
+    print(
+        json.dumps(
+            run_kdk_bench(
+                args.size,
+                args.dims,
+                args.streams,
+                args.steps,
+                dt_mode=getattr(args, "dt_mode", "lagged"),
+            )
+        )
+    )
