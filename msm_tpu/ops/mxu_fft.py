@@ -474,6 +474,33 @@ def _fused_kernel_density_fwd(
         oi_ref[0, r * LEAF : (r + 1) * LEAF, :] = yim
 
 
+def _sublane_kernel_roundtrip_pmap(
+    xr_ref, xi_ref, wf_ref, wi_ref, pmap_ref, or_ref, oi_ref, *, R, precision
+):
+    """Forward transform, k-space map multiply, inverse transform of the
+    SAME axis in one HBM pass: the Poisson solve's middle axis (rho_k is
+    produced, multiplied by -coeff/k^2 and consumed without ever existing
+    in HBM; calculate_potential :1066-1110). Valid because the map factor
+    for this block is elementwise in the block's own k index."""
+    fphases = _radix_phases(R, inverse=False)
+    iphases = _radix_phases(R, inverse=True)
+    inv_sqrt_r = 1.0 / math.sqrt(R)
+    chunks = [
+        (xr_ref[0, a * LEAF : (a + 1) * LEAF, :], xi_ref[0, a * LEAF : (a + 1) * LEAF, :])
+        for a in range(R)
+    ]
+    s = _butterfly(chunks, fphases, inv_sqrt_r)
+    u = []
+    for r in range(R):
+        yre, yim = _cmatmul_t(wf_ref[r, 0], wf_ref[r, 1], s[r][0], s[r][1], precision)
+        m = pmap_ref[0, r * LEAF : (r + 1) * LEAF, :]
+        u.append(_cmatmul_t(wi_ref[r, 0], wi_ref[r, 1], yre * m, yim * m, precision))
+    combined = _butterfly(u, iphases, inv_sqrt_r)
+    for a in range(R):
+        or_ref[0, a * LEAF : (a + 1) * LEAF, :] = combined[a][0]
+        oi_ref[0, a * LEAF : (a + 1) * LEAF, :] = combined[a][1]
+
+
 def _sublane_kernel_inv_pmap(
     xr_ref, xi_ref, w_ref, pmap_ref, or_ref, oi_ref, *, R, precision
 ):
@@ -839,6 +866,43 @@ def _axis_pass_sublane_inv_kphase(xr, xi, axis: int, spec, coeff):
     return out[0].reshape(xr.shape), out[1].reshape(xr.shape)
 
 
+def _axis_pass_sublane_roundtrip_pmap(xr, xi, axis: int, pmap):
+    """One-pass F_axis -> pmap multiply -> F_axis^-1 (see kernel)."""
+    size, b1, lanes, width = _sublane_view(xr, axis)
+    R = size // LEAF
+    wf = jnp.asarray(_matrices(size, False, xr.dtype.name))
+    wi = jnp.asarray(_matrices(size, True, xr.dtype.name))
+    xr3 = xr.reshape(b1, size, lanes)
+    xi3 = xi.reshape(b1, size, lanes)
+    pmap3 = jnp.asarray(pmap, xr.dtype).reshape(1, size, lanes)
+    grid = (b1, lanes // width)
+    spec_x = pl.BlockSpec(
+        (1, size, width), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    spec_m = pl.BlockSpec(
+        (1, size, width), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM
+    )
+    wspec = pl.BlockSpec(
+        (R, 2, LEAF, LEAF), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(
+        _sublane_kernel_roundtrip_pmap, R=R, precision=_precision()
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[spec_x, spec_x, wspec, wspec, spec_m],
+        out_specs=[spec_x, spec_x],
+        out_shape=[
+            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
+            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(xr3, xi3, wf, wi, pmap3)
+    return out[0].reshape(xr.shape), out[1].reshape(xr.shape)
+
+
 def _axis_pass_sublane_inv_pmap(xr, xi, axis: int, pmap):
     """Inverse sublane pass fused with a real k-space map multiply (the
     Poisson -coeff/k^2 with k=0 zeroed, in ENGINE order)."""
@@ -1166,6 +1230,31 @@ def forward_engine_density(
         return jax.lax.complex(xr, xi)
     rho = jnp.asarray(prefactor, pr.dtype) * (pr * pr + pi * pi)
     return forward_engine_real(rho, dims)
+
+
+def poisson_solve(
+    psi: jnp.ndarray, dims: int, prefactor: float, pmap
+) -> jnp.ndarray:
+    """The whole spectral Poisson solve (calculate_potential :1031-1110) in
+    THREE HBM passes for 3-D grids:
+
+      1. fused2 density forward: rho = prefactor*|psi|^2 synthesized
+         in-register, transformed over the last two axes;
+      2. roundtrip pass: forward z-transform, -coeff/k^2 multiply and
+         inverse z-transform in one kernel — rho_k never exists in HBM;
+      3. fused2 real inverse: phi = Re F^-1 over the last two axes.
+
+    pmap is the full k-space map in ENGINE order. Falls back to the
+    two-call path (4 passes) off the fused geometry.
+    """
+    if _fuse2_ok(psi.shape, dims) and dims == 3:
+        pr = jnp.real(psi)
+        pi = jnp.imag(psi)
+        xr, xi = _axis_pass_fused2_density(pr, pi, prefactor)
+        xr, xi = _axis_pass_sublane_roundtrip_pmap(xr, xi, psi.ndim - 3, pmap)
+        return _axis_pass_fused2_real((xr, xi), inverse=True)
+    rho_k = forward_engine_density(psi, dims, prefactor)
+    return inverse_engine_real(rho_k, dims, pmap=pmap)
 
 
 def inverse_engine_real(

@@ -481,14 +481,15 @@ class Stepper:
             from .ops import mxu_fft
 
             if self.fuse_phases:
-                # rho is synthesized from the psi planes inside the forward
-                # kernel (never hits HBM); the Poisson -coeff/k^2 map rides
-                # the inverse transform's first read of rho_k.
-                rho_k = mxu_fft.forward_engine_density(
-                    psi, self.params.dims, self.density_prefactor
-                )
-                return mxu_fft.inverse_engine_real(
-                    rho_k, self.params.dims, pmap=consts.poisson_map
+                # Three-pass fused solve: rho is synthesized from the psi
+                # planes inside the forward kernel and rho_k is produced,
+                # multiplied by -coeff/k^2 and consumed inside one roundtrip
+                # kernel — neither ever hits HBM (mxu_fft.poisson_solve).
+                return mxu_fft.poisson_solve(
+                    psi,
+                    self.params.dims,
+                    self.density_prefactor,
+                    consts.poisson_map,
                 )
         rho = jnp.asarray(self.density_prefactor, self.rdtype) * jnp.real(
             psi * jnp.conj(psi)

@@ -61,17 +61,66 @@ def main():
     # dispatch floor: trivial scalar op
     timeit(jax.jit(lambda a, b: (jnp.sum(a[0, 0]), b)), (xr, xi), label="dispatch floor (tiny op)")
 
+    # Pure-copy Pallas pass: the DMA floor for one read+write of the planes.
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def _copy_kernel(ar, br, co, do):
+        co[...] = ar[...]
+        do[...] = br[...]
+
+    def copy_pass(a, b):
+        m = a.shape[0]
+        spec = pl.BlockSpec(
+            (1,) + a.shape[1:], lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        return pl.pallas_call(
+            _copy_kernel,
+            grid=(m,),
+            in_specs=[spec, spec],
+            out_specs=[spec, spec],
+            out_shape=[jax.ShapeDtypeStruct(a.shape, a.dtype)] * 2,
+            interpret=mxu_fft._interpret(),
+        )(a, b)
+
     ew = lambda a, b: (a + 1.0, b + 1.0)
     f2 = lambda a, b: mxu_fft._axis_pass_fused2(a, b, inverse=False)
     sub = lambda a, b: mxu_fft._axis_pass_sublane(a, b, 0, inverse=False)
-    for name, passfn in (("xla elementwise", ew), ("fused2", f2), ("sublane", sub)):
-        t1 = timeit(chain(passfn, 1), (xr, xi), label=f"{name} x1")
-        t4 = timeit(chain(passfn, 4), (xr, xi), label=f"{name} x4")
+    # Long chains inside one jit: slope over k isolates the true per-pass
+    # cost from the ~20 ms tunneled-dispatch floor (x1-vs-x4 cannot).
+    K_LO, K_HI = 4, 16
+    for name, passfn in (
+        ("copy pass", copy_pass),
+        ("xla elementwise", ew),
+        ("fused2", f2),
+        ("sublane", sub),
+    ):
+        tl = timeit(chain(passfn, K_LO), (xr, xi), label=f"{name} x{K_LO}")
+        th = timeit(chain(passfn, K_HI), (xr, xi), label=f"{name} x{K_HI}")
         print(
-            f"  -> {name}: per-pass {(t4 - t1) / 3 * 1e3:.3f} ms, "
-            f"overhead {(4 * t1 - t4) / 3 * 1e3:.3f} ms",
+            f"  -> {name}: per-pass {(th - tl) / (K_HI - K_LO) * 1e3:.3f} ms",
             flush=True,
         )
+
+    # Poisson roundtrip pass (pmap threaded as an argument, not a capture)
+    spec_c = jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+
+    def chain_rt(k):
+        def run(a, b, s):
+            for _ in range(k):
+                a, b = mxu_fft._axis_pass_sublane_roundtrip_pmap(a, b, 0, s)
+            return a, b
+
+        return jax.jit(run)
+
+    tl = timeit(chain_rt(K_LO), (xr, xi, spec_c), label=f"poisson roundtrip x{K_LO}")
+    th = timeit(chain_rt(K_HI), (xr, xi, spec_c), label=f"poisson roundtrip x{K_HI}")
+    print(
+        f"  -> poisson roundtrip: per-pass {(th - tl) / (K_HI - K_LO) * 1e3:.3f} ms",
+        flush=True,
+    )
 
     # full transforms, planar in/out (no complex crossing jit boundaries)
     fwd3 = jax.jit(
