@@ -18,7 +18,7 @@ def main() -> None:
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--dims", type=int, default=3)
     parser.add_argument("--streams", type=int, default=1)
-    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--steps", type=int, default=100)
     parser.add_argument(
         "--dt-mode",
         choices=("exact", "lagged"),

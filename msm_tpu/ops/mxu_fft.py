@@ -59,10 +59,13 @@ _LANE_ROWS = 256
 _SUBLANE_LANES = 512
 
 # MXU precision for the DFT matmuls. HIGHEST = 6-pass bf16 decomposition
-# (exact f32); HIGH = 3-pass (drops the lowest cross term) — 2x the MXU
-# throughput for a modestly higher noise floor. See _precision().
-# MSM_MXU_PRECISION=high|highest overrides at import time.
+# (exact f32). 'bf16x3' is a hand-rolled 3-pass split (Mosaic does not
+# lower Precision.HIGH): each f32 operand splits into hi+lo bfloat16 and
+# the dot is wh@xh + wh@xl + wl@xh — 2x the MXU throughput of HIGHEST for
+# a ~2^-17 relative floor (vs f32's 2^-24); dropped term lo*lo ~ 2^-18.
+# MSM_MXU_PRECISION=bf16x3|high|highest overrides at import time.
 _PRECISION = {
+    "bf16x3": "bf16x3",
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
 }[__import__("os").environ.get("MSM_MXU_PRECISION", "highest")]
@@ -170,11 +173,52 @@ def _radix_phases(R: int, inverse: bool) -> list[list[complex]]:
 # ---------------------------------------------------------------------------
 
 
+def _split_bf16(x):
+    """Leading-bits split x ~= hi + lo into two bfloat16 terms."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a, b, dims, out_dtype):
+    """3-pass bf16 split dot: ah@bh + ah@bl + al@bh, f32 accumulation.
+    Drops the lo@lo term (~2^-18 relative) — half the MXU passes of
+    Precision.HIGHEST for a ~2^-17 floor."""
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+    d = functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=dims,
+        preferred_element_type=out_dtype,
+    )
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
+
+
+def _rdot(precision, dtype):
+    """Real matmul a @ b honoring the bf16x3 split mode."""
+    dims = (((1,), (0,)), ((), ()))
+    if precision == "bf16x3":
+        return functools.partial(_dot3, dims=dims, out_dtype=dtype)
+    return functools.partial(
+        jax.lax.dot_general,
+        dimension_numbers=dims,
+        preferred_element_type=dtype,
+        precision=precision,
+    )
+
+
 def _cmatmul(ar, ai, br, bi, precision):
     """(ar + i ai) @ (br + i bi) as 4 real MXU matmuls."""
-    dot = functools.partial(
-        jnp.dot, preferred_element_type=ar.dtype, precision=precision
-    )
+    dims = (((1,), (0,)), ((), ()))
+    if precision == "bf16x3":
+        dot = functools.partial(_dot3, dims=dims, out_dtype=ar.dtype)
+    else:
+        dot = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=dims,
+            preferred_element_type=ar.dtype,
+            precision=precision,
+        )
     return (
         dot(ar, br) - dot(ai, bi),
         dot(ar, bi) + dot(ai, br),
@@ -184,12 +228,16 @@ def _cmatmul(ar, ai, br, bi, precision):
 def _cmatmul_t(wr, wi, br, bi, precision):
     """(wr + i wi)^T @ (br + i bi) via dim-0 contraction (no transpose op):
     out[k, l] = sum_b w[b, k] x[b, l]."""
-    dot = functools.partial(
-        jax.lax.dot_general,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=wr.dtype,
-        precision=precision,
-    )
+    dims = (((0,), (0,)), ((), ()))
+    if precision == "bf16x3":
+        dot = functools.partial(_dot3, dims=dims, out_dtype=wr.dtype)
+    else:
+        dot = functools.partial(
+            jax.lax.dot_general,
+            dimension_numbers=dims,
+            preferred_element_type=wr.dtype,
+            precision=precision,
+        )
     return (
         dot(wr, br) - dot(wi, bi),
         dot(wr, bi) + dot(wi, br),
@@ -276,9 +324,7 @@ def _lane_kernel_real_fwd(xr_ref, w_ref, or_ref, oi_ref, *, R, precision):
     half the butterfly adds and half the matmuls (the Poisson density)."""
     phases = _radix_phases(R, inverse=False)
     inv_sqrt_r = 1.0 / math.sqrt(R)
-    dot = functools.partial(
-        jnp.dot, preferred_element_type=xr_ref.dtype, precision=precision
-    )
+    dot = _rdot(precision, xr_ref.dtype)
     chunks = [xr_ref[:, a * LEAF : (a + 1) * LEAF] for a in range(R)]
     for r in range(R):
         sre = None
@@ -304,9 +350,7 @@ def _lane_kernel_real_inv(xr_ref, xi_ref, w_ref, or_ref, *, R, precision):
     potential: phi = Re F^-1[phi_k]): half the matmuls and adds."""
     phases = _radix_phases(R, inverse=True)
     inv_sqrt_r = 1.0 / math.sqrt(R)
-    dot = functools.partial(
-        jnp.dot, preferred_element_type=xr_ref.dtype, precision=precision
-    )
+    dot = _rdot(precision, xr_ref.dtype)
     u = []
     for r in range(R):
         xre = xr_ref[:, r * LEAF : (r + 1) * LEAF]
@@ -437,9 +481,7 @@ def _fused_kernel_density_fwd(
     :1031-1063) — rho never exists in HBM."""
     phases = _radix_phases(R, inverse=False)
     inv_sqrt_r = 1.0 / math.sqrt(R)
-    dot = functools.partial(
-        jnp.dot, preferred_element_type=pr_ref.dtype, precision=precision
-    )
+    dot = _rdot(precision, pr_ref.dtype)
     chunks = []
     for a in range(R):
         sl = slice(a * LEAF, (a + 1) * LEAF)
@@ -599,9 +641,7 @@ def _fused_kernel_real_fwd(xr_ref, w_ref, or_ref, oi_ref, sr_ref, si_ref, *, R, 
     zero imag plane never read) into scratch, complex sublane stage out."""
     phases = _radix_phases(R, inverse=False)
     inv_sqrt_r = 1.0 / math.sqrt(R)
-    dot = functools.partial(
-        jnp.dot, preferred_element_type=xr_ref.dtype, precision=precision
-    )
+    dot = _rdot(precision, xr_ref.dtype)
     chunks = [xr_ref[0, :, a * LEAF : (a + 1) * LEAF] for a in range(R)]
     for r in range(R):
         sre = None
@@ -638,9 +678,7 @@ def _fused_kernel_real_inv(
     into scratch, real-output lane inverse out (half its arithmetic)."""
     phases = _radix_phases(R, inverse=True)
     inv_sqrt_r = 1.0 / math.sqrt(R)
-    dot = functools.partial(
-        jnp.dot, preferred_element_type=xr_ref.dtype, precision=precision
-    )
+    dot = _rdot(precision, xr_ref.dtype)
     u = [
         _cmatmul_t(
             w_ref[r, 0],

@@ -1,9 +1,16 @@
 """Per-pass MXU FFT microbenchmark (run ON the TPU).
 
-Separates per-dispatch overhead from true pass cost by timing CHAINS of k
-identical passes inside one jit call: slope over k = real per-pass time,
-intercept = dispatch/launch overhead. Complex results never cross the
-host link (axon cannot transfer complex) — all syncs are real-part sums.
+Axon relay gotchas (measured, round 2):
+  * each jit CALL costs ~20-500 ms of blocking host time (jittery);
+  * repeat calls with IDENTICAL executable + inputs appear to be served
+    from a result cache — chains of k dispatches, and even repeated
+    single dispatches, show zero slope in k.
+
+So the only honest measurement is: ONE program containing the whole chain
+(lax.fori_loop), a FRESH scalar input per call (defeats result reuse),
+long chains (execution ≫ floor jitter), and the slope between two chain
+lengths. Complex results never cross the host link (axon cannot transfer
+complex) — all syncs are real-part sums.
 
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/microbench_mxu.py [size]
 """
@@ -16,6 +23,7 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 
 def _sync_val(out):
@@ -27,25 +35,51 @@ def _sync_val(out):
     return float(np.asarray(red(out)))
 
 
-def timeit(fn, args, iters=20, label=""):
-    out = fn(*args)
-    _sync_val(out)  # compile + sync
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync_val(out)
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{label:46s} {dt * 1e3:8.3f} ms", flush=True)
-    return dt
+_CALL_ID = [0]
+
+
+def _fresh():
+    """A new tiny scalar per call: folded into the input so no two calls
+    are identical programs-on-identical-buffers (relay result reuse)."""
+    _CALL_ID[0] += 1
+    return jnp.float32(_CALL_ID[0] * 1e-30)
+
+
+def timeit_once(fn, args, repeats=3, label=""):
+    """min over repeats of (dispatch + execute + fetch); fn takes
+    (*args, eps) with eps varying per call."""
+    _sync_val(fn(*args, _fresh()))  # compile + sync
+    best = float("inf")
+    for _ in range(repeats):
+        eps = _fresh()
+        t0 = time.perf_counter()
+        out = fn(*args, eps)
+        _sync_val(out)
+        best = min(best, time.perf_counter() - t0)
+    print(f"{label:46s} {best * 1e3:8.3f} ms", flush=True)
+    return best
+
+
+K_LO, K_HI = 16, 112
 
 
 def chain(passfn, k):
-    def run(a, b):
-        for _ in range(k):
-            a, b = passfn(a, b)
-        return a, b
+    """k data-dependent applications of passfn inside ONE program."""
+
+    def run(a, b, eps):
+        return lax.fori_loop(
+            0, k, lambda i, ab: tuple(passfn(*ab)), (a + eps, b)
+        )
 
     return jax.jit(run)
+
+
+def slope(passfn, args2, name):
+    tl = timeit_once(chain(passfn, K_LO), args2, label=f"{name} x{K_LO}")
+    th = timeit_once(chain(passfn, K_HI), args2, label=f"{name} x{K_HI}")
+    per = (th - tl) / (K_HI - K_LO) * 1e3
+    print(f"  -> {name}: per-pass {per:.3f} ms", flush=True)
+    return per
 
 
 def main():
@@ -58,12 +92,14 @@ def main():
     xi = jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
     print(f"grid {size}^3, precision={mxu_fft._PRECISION}", flush=True)
 
-    # dispatch floor: trivial scalar op
-    timeit(jax.jit(lambda a, b: (jnp.sum(a[0, 0]), b)), (xr, xi), label="dispatch floor (tiny op)")
+    # dispatch + fetch floor: trivial scalar op
+    timeit_once(
+        jax.jit(lambda a, b, eps: (jnp.sum(a[0, 0]) + eps, b)),
+        (xr, xi),
+        label="dispatch floor (tiny op)",
+    )
 
     # Pure-copy Pallas pass: the DMA floor for one read+write of the planes.
-    import functools as _ft
-
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -88,96 +124,83 @@ def main():
     ew = lambda a, b: (a + 1.0, b + 1.0)
     f2 = lambda a, b: mxu_fft._axis_pass_fused2(a, b, inverse=False)
     sub = lambda a, b: mxu_fft._axis_pass_sublane(a, b, 0, inverse=False)
-    # Long chains inside one jit: slope over k isolates the true per-pass
-    # cost from the ~20 ms tunneled-dispatch floor (x1-vs-x4 cannot).
-    K_LO, K_HI = 4, 16
     for name, passfn in (
         ("copy pass", copy_pass),
         ("xla elementwise", ew),
         ("fused2", f2),
         ("sublane", sub),
     ):
-        tl = timeit(chain(passfn, K_LO), (xr, xi), label=f"{name} x{K_LO}")
-        th = timeit(chain(passfn, K_HI), (xr, xi), label=f"{name} x{K_HI}")
-        print(
-            f"  -> {name}: per-pass {(th - tl) / (K_HI - K_LO) * 1e3:.3f} ms",
-            flush=True,
-        )
+        slope(passfn, (xr, xi), name)
 
-    # Poisson roundtrip pass (pmap threaded as an argument, not a capture)
+    # the same transform passes with the bf16x3 3-pass matmuls
+    saved = mxu_fft._PRECISION
+    mxu_fft._PRECISION = "bf16x3"
+    try:
+        slope(f2, (xr, xi), "fused2 [bf16x3]")
+        slope(sub, (xr, xi), "sublane [bf16x3]")
+    finally:
+        mxu_fft._PRECISION = saved
+
+    # Poisson roundtrip pass (pmap threaded as a jit argument)
     spec_c = jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
 
     def chain_rt(k):
-        def run(a, b, s):
-            for _ in range(k):
-                a, b = mxu_fft._axis_pass_sublane_roundtrip_pmap(a, b, 0, s)
-            return a, b
+        def run(a, b, s, eps):
+            return lax.fori_loop(
+                0,
+                k,
+                lambda i, ab: tuple(
+                    mxu_fft._axis_pass_sublane_roundtrip_pmap(*ab, 0, s)
+                ),
+                (a + eps, b),
+            )
 
         return jax.jit(run)
 
-    tl = timeit(chain_rt(K_LO), (xr, xi, spec_c), label=f"poisson roundtrip x{K_LO}")
-    th = timeit(chain_rt(K_HI), (xr, xi, spec_c), label=f"poisson roundtrip x{K_HI}")
+    tl = timeit_once(chain_rt(K_LO), (xr, xi, spec_c), label=f"poisson roundtrip x{K_LO}")
+    th = timeit_once(chain_rt(K_HI), (xr, xi, spec_c), label=f"poisson roundtrip x{K_HI}")
     print(
         f"  -> poisson roundtrip: per-pass {(th - tl) / (K_HI - K_LO) * 1e3:.3f} ms",
         flush=True,
     )
 
-    # full transforms, planar in/out (no complex crossing jit boundaries)
-    fwd3 = jax.jit(
-        lambda a, b: tuple(
-            map(
-                lambda z: (jnp.real(z), jnp.imag(z)),
-                (mxu_fft.forward_engine(jax.lax.complex(a, b), 3),),
-            )
-        )[0]
-    )
-    timeit(fwd3, (xr, xi), label="forward_engine 3-D")
-    roundtrip = jax.jit(
-        lambda a, b: (
-            lambda z: (jnp.real(z), jnp.imag(z))
-        )(
-            mxu_fft.inverse_engine(
-                mxu_fft.forward_engine(jax.lax.complex(a, b), 3), 3
-            )
-        )
-    )
-    timeit(roundtrip, (xr, xi), label="mxu roundtrip 3-D")
-    xla_rt = jax.jit(
-        lambda a, b: (
-            lambda z: (jnp.real(z), jnp.imag(z))
-        )(
-            jnp.fft.ifftn(
-                jnp.fft.fftn(jax.lax.complex(a, b), axes=(-3, -2, -1)),
-                axes=(-3, -2, -1),
-            )
-        )
-    )
-    timeit(xla_rt, (xr, xi), label="xla fft roundtrip 3-D")
+    # XLA reductions as they appear in the step (alias + norm share one
+    # read; phi_max folds into the same sweep here). The carry feeds the
+    # next iteration's read so the loop body cannot be hoisted.
+    def chain_red(k):
+        def run(a, b, eps):
+            def body(i, acc):
+                ash = a + acc[0]
+                return (jnp.sum(ash * ash + b * b) + eps, jnp.max(jnp.abs(ash)))
 
-    # the fused step interludes
-    spec = jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
-    invk = jax.jit(
-        lambda a, b, s: (
-            lambda z: (jnp.real(z), jnp.imag(z))
-        )(
-            mxu_fft.inverse_engine(
-                jax.lax.complex(a, b), 3, kphase=(s, jnp.float32(0.01))
-            )
+            return lax.fori_loop(0, k, body, (eps, jnp.float32(0)))
+
+        return jax.jit(run)
+
+    tl = timeit_once(chain_red(K_LO), (xr, xi), label=f"fused reductions x{K_LO}")
+    th = timeit_once(chain_red(K_HI), (xr, xi), label=f"fused reductions x{K_HI}")
+    print(
+        f"  -> reductions: per-pass {(th - tl) / (K_HI - K_LO) * 1e3:.3f} ms",
+        flush=True,
+    )
+
+    # chained full roundtrips: true 3-D F + F^-1 cost
+    def rt_pass(a, b):
+        z = mxu_fft.inverse_engine(
+            mxu_fft.forward_engine(jax.lax.complex(a, b), 3), 3
         )
-    )
-    timeit(invk, (xr, xi, spec), label="inverse_engine + fused kphase")
-    fwdd = jax.jit(
-        lambda a, b: (
-            lambda z: (jnp.real(z), jnp.imag(z))
-        )(mxu_fft.forward_engine_density(jax.lax.complex(a, b), 3, 2.0))
-    )
-    timeit(fwdd, (xr, xi), label="forward_engine_density 3-D")
-    invp = jax.jit(
-        lambda a, b, s: mxu_fft.inverse_engine_real(
-            jax.lax.complex(a, b), 3, pmap=s
+        return jnp.real(z), jnp.imag(z)
+
+    slope(rt_pass, (xr, xi), "mxu 3-D roundtrip")
+
+    def xla_rt_pass(a, b):
+        z = jnp.fft.ifftn(
+            jnp.fft.fftn(jax.lax.complex(a, b), axes=(-3, -2, -1)),
+            axes=(-3, -2, -1),
         )
-    )
-    timeit(invp, (xr, xi, spec), label="inverse_engine_real + fused pmap")
+        return jnp.real(z), jnp.imag(z)
+
+    slope(xla_rt_pass, (xr, xi), "xla 3-D roundtrip")
 
 
 if __name__ == "__main__":

@@ -200,3 +200,26 @@ def test_mxu_poisson_solve_roundtrip_kernel(rng):
         )
     )
     np.testing.assert_allclose(got_b[0], got, atol=1e-12)
+
+
+def test_mxu_bf16x3_precision_mode(rng):
+    """The 3-pass bf16-split matmul mode (MSM_MXU_PRECISION=bf16x3) stays
+    within its designed ~2^-17 relative floor and round-trips."""
+    from msm_tpu.ops import mxu_fft as m
+
+    saved = m._PRECISION
+    m._PRECISION = "bf16x3"
+    try:
+        x = (
+            rng.standard_normal((64, 128, 128))
+            + 1j * rng.standard_normal((64, 128, 128))
+        ).astype(np.complex64)
+        xk = m.forward_engine(jnp.asarray(x), 2)
+        ref = np.fft.fft2(x.astype(np.complex128), norm="ortho")
+        err = np.abs(np.asarray(m.to_natural(xk, 2)) - ref)
+        scale = np.abs(ref).max()
+        assert err.max() / scale < 5e-5, err.max() / scale
+        back = np.asarray(m.inverse_engine(xk, 2))
+        assert np.abs(back - x).max() < 2e-4
+    finally:
+        m._PRECISION = saved
