@@ -72,8 +72,9 @@ _PRECISION = {
 
 # Fuse the last TWO axes into one kernel pass ((1, N, N) blocks with a VMEM
 # scratch intermediate): a 3-D transform becomes 2 HBM passes instead of 3
-# and a 2-D transform becomes 1. Measured bottleneck is DMA (the copy floor
-# is ~0.65 ms/pass at 256^3), so pass count is the dominant cost.
+# and a 2-D transform becomes 1. At HIGHEST precision the passes are
+# MXU-bound (docs/DESIGN.md §8d), but fewer passes still win: each pass
+# saves ~16 B/cell of HBM traffic and a kernel launch.
 _FUSE2 = True
 
 _VMEM_LIMIT = 100 * 1024 * 1024
@@ -194,9 +195,17 @@ def _dot3(a, b, dims, out_dtype):
     return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
-def _rdot(precision, dtype):
-    """Real matmul a @ b honoring the bf16x3 split mode."""
-    dims = (((1,), (0,)), ((), ()))
+# Complex matmuls as 3 real MXU dots (Karatsuba: re = t1 - t2,
+# im = (ar+ai)@(br+bi) - t1 - t2) instead of the schoolbook 4 — a 25% MXU
+# saving at every precision, where the fused step is MXU-bound (§8d). The
+# VPU operand adds are O(blocksize), negligible vs the O(128*blocksize)
+# MACs. Error grows by a small constant (the t3 cancellation), bounded by
+# the same eps * (|a_re|+|a_im|)(|b_re|+|b_im|) envelope; validated in
+# tests against numpy. MSM_MXU_KARATSUBA=0 restores the 4-dot form.
+_KARATSUBA = __import__("os").environ.get("MSM_MXU_KARATSUBA", "1") != "0"
+
+
+def _dot_fn(precision, dims, dtype):
     if precision == "bf16x3":
         return functools.partial(_dot3, dims=dims, out_dtype=dtype)
     return functools.partial(
@@ -208,17 +217,12 @@ def _rdot(precision, dtype):
 
 
 def _cmatmul(ar, ai, br, bi, precision):
-    """(ar + i ai) @ (br + i bi) as 4 real MXU matmuls."""
-    dims = (((1,), (0,)), ((), ()))
-    if precision == "bf16x3":
-        dot = functools.partial(_dot3, dims=dims, out_dtype=ar.dtype)
-    else:
-        dot = functools.partial(
-            jax.lax.dot_general,
-            dimension_numbers=dims,
-            preferred_element_type=ar.dtype,
-            precision=precision,
-        )
+    """(ar + i ai) @ (br + i bi) as 3 (Karatsuba) or 4 real MXU matmuls."""
+    dot = _dot_fn(precision, (((1,), (0,)), ((), ())), ar.dtype)
+    if _KARATSUBA:
+        t1 = dot(ar, br)
+        t2 = dot(ai, bi)
+        return t1 - t2, dot(ar + ai, br + bi) - t1 - t2
     return (
         dot(ar, br) - dot(ai, bi),
         dot(ar, bi) + dot(ai, br),
@@ -228,16 +232,11 @@ def _cmatmul(ar, ai, br, bi, precision):
 def _cmatmul_t(wr, wi, br, bi, precision):
     """(wr + i wi)^T @ (br + i bi) via dim-0 contraction (no transpose op):
     out[k, l] = sum_b w[b, k] x[b, l]."""
-    dims = (((0,), (0,)), ((), ()))
-    if precision == "bf16x3":
-        dot = functools.partial(_dot3, dims=dims, out_dtype=wr.dtype)
-    else:
-        dot = functools.partial(
-            jax.lax.dot_general,
-            dimension_numbers=dims,
-            preferred_element_type=wr.dtype,
-            precision=precision,
-        )
+    dot = _dot_fn(precision, (((0,), (0,)), ((), ())), wr.dtype)
+    if _KARATSUBA:
+        t1 = dot(wr, br)
+        t2 = dot(wi, bi)
+        return t1 - t2, dot(wr + wi, br + bi) - t1 - t2
     return (
         dot(wr, br) - dot(wi, bi),
         dot(wr, bi) + dot(wi, br),
@@ -324,7 +323,6 @@ def _lane_kernel_real_fwd(xr_ref, w_ref, or_ref, oi_ref, *, R, precision):
     half the butterfly adds and half the matmuls (the Poisson density)."""
     phases = _radix_phases(R, inverse=False)
     inv_sqrt_r = 1.0 / math.sqrt(R)
-    dot = _rdot(precision, xr_ref.dtype)
     chunks = [xr_ref[:, a * LEAF : (a + 1) * LEAF] for a in range(R)]
     for r in range(R):
         sre = None
@@ -337,12 +335,9 @@ def _lane_kernel_real_fwd(xr_ref, w_ref, or_ref, oi_ref, *, R, precision):
             sim = tim if sim is None else sim + tim
         sre = sre * inv_sqrt_r
         sim = sim * inv_sqrt_r
-        or_ref[:, r * LEAF : (r + 1) * LEAF] = dot(sre, w_ref[r, 0]) - dot(
-            sim, w_ref[r, 1]
-        )
-        oi_ref[:, r * LEAF : (r + 1) * LEAF] = dot(sre, w_ref[r, 1]) + dot(
-            sim, w_ref[r, 0]
-        )
+        yre, yim = _cmatmul(sre, sim, w_ref[r, 0], w_ref[r, 1], precision)
+        or_ref[:, r * LEAF : (r + 1) * LEAF] = yre
+        oi_ref[:, r * LEAF : (r + 1) * LEAF] = yim
 
 
 def _lane_kernel_real_inv(xr_ref, xi_ref, w_ref, or_ref, *, R, precision):
@@ -350,18 +345,12 @@ def _lane_kernel_real_inv(xr_ref, xi_ref, w_ref, or_ref, *, R, precision):
     potential: phi = Re F^-1[phi_k]): half the matmuls and adds."""
     phases = _radix_phases(R, inverse=True)
     inv_sqrt_r = 1.0 / math.sqrt(R)
-    dot = _rdot(precision, xr_ref.dtype)
     u = []
     for r in range(R):
         xre = xr_ref[:, r * LEAF : (r + 1) * LEAF]
         xim = xi_ref[:, r * LEAF : (r + 1) * LEAF]
         # Re(U_r) = Xre @ Wre - Xim @ Wim
-        u.append(
-            (
-                dot(xre, w_ref[r, 0]) - dot(xim, w_ref[r, 1]),
-                dot(xre, w_ref[r, 1]) + dot(xim, w_ref[r, 0]),
-            )
-        )
+        u.append(_cmatmul(xre, xim, w_ref[r, 0], w_ref[r, 1], precision))
     for a in range(R):
         acc = None
         for r in range(R):
@@ -473,6 +462,225 @@ def _fused_kernel_fwd_xphase(
         oi_ref[0, r * LEAF : (r + 1) * LEAF, :] = yim
 
 
+def _sublane_kernel_fwd_reduce(
+    xr_ref, xi_ref, w_ref, mask_ref, or_ref, oi_ref, ns_ref, as_ref, *, R, precision
+):
+    """Forward sublane pass that also emits this block's partial
+    sum(|y|^2) and sum(mask * |y|^2): the step's unitarity norm and alias
+    mass (check_alias :1249-1293) ride the final forward pass's write of
+    psik instead of a separate full-grid XLA read."""
+    phases = _radix_phases(R, inverse=False)
+    inv_sqrt_r = 1.0 / math.sqrt(R)
+    chunks = [
+        (xr_ref[0, a * LEAF : (a + 1) * LEAF, :], xi_ref[0, a * LEAF : (a + 1) * LEAF, :])
+        for a in range(R)
+    ]
+    s = _butterfly(chunks, phases, inv_sqrt_r)
+    nsum = None
+    asum = None
+    for r in range(R):
+        yre, yim = _cmatmul_t(w_ref[r, 0], w_ref[r, 1], s[r][0], s[r][1], precision)
+        or_ref[0, r * LEAF : (r + 1) * LEAF, :] = yre
+        oi_ref[0, r * LEAF : (r + 1) * LEAF, :] = yim
+        p2 = yre * yre + yim * yim
+        m = mask_ref[0, r * LEAF : (r + 1) * LEAF, :]
+        ns = jnp.sum(p2)
+        am = jnp.sum(p2 * m)
+        nsum = ns if nsum is None else nsum + ns
+        asum = am if asum is None else asum + am
+    # Scalar partials broadcast over one (8, 128) VMEM tile (Mosaic's
+    # minimum f32 output block); callers read [..., 0, 0].
+    ns_ref[...] = jnp.broadcast_to(nsum, ns_ref.shape).astype(ns_ref.dtype)
+    as_ref[...] = jnp.broadcast_to(asum, as_ref.shape).astype(as_ref.dtype)
+
+
+def _fused_kernel_real_inv_absmax(
+    xr_ref, xi_ref, w_ref, or_ref, mx_ref, sr_ref, si_ref, *, R, precision
+):
+    """`_fused_kernel_real_inv` that also emits this block's max|out|: the
+    lagged-dt potential bound max|phi| (get_timestep :905-915) rides the
+    Poisson inverse's write of phi instead of a separate XLA read."""
+    phases = _radix_phases(R, inverse=True)
+    inv_sqrt_r = 1.0 / math.sqrt(R)
+    u = [
+        _cmatmul_t(
+            w_ref[r, 0],
+            w_ref[r, 1],
+            xr_ref[0, r * LEAF : (r + 1) * LEAF, :],
+            xi_ref[0, r * LEAF : (r + 1) * LEAF, :],
+            precision,
+        )
+        for r in range(R)
+    ]
+    combined = _butterfly(u, phases, inv_sqrt_r)
+    for a in range(R):
+        sr_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][0]
+        si_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][1]
+    u = []
+    for r in range(R):
+        xre = sr_ref[:, r * LEAF : (r + 1) * LEAF]
+        xim = si_ref[:, r * LEAF : (r + 1) * LEAF]
+        u.append(_cmatmul(xre, xim, w_ref[r, 0], w_ref[r, 1], precision))
+    mx = None
+    for a in range(R):
+        acc = None
+        for r in range(R):
+            w = phases[a][r]
+            t = _scale_add(u[r][0], w.real, u[r][1], -w.imag)
+            acc = t if acc is None else acc + t
+        acc = acc * inv_sqrt_r
+        or_ref[0, :, a * LEAF : (a + 1) * LEAF] = acc
+        bm = jnp.max(jnp.abs(acc))
+        mx = bm if mx is None else jnp.maximum(mx, bm)
+    mx_ref[...] = jnp.broadcast_to(mx, mx_ref.shape).astype(mx_ref.dtype)
+
+
+def _fused_kernel_inv_density(
+    xr_ref, xi_ref, wi_ref, wf_ref, pr_ref, pi_ref, dr_ref, di_ref,
+    sr_ref, si_ref, *, R, prefactor, precision,
+):
+    """Fused2 inverse producing psi PLUS the density forward of the same
+    plane in one HBM pass: psi is materialized (written out) and
+    rho = prefactor*|psi|^2 is synthesized from the in-register psi chunks
+    and forward-transformed over the same two axes — one full read of psi
+    saved vs the separate density pass (calculate_density :1031-1063)."""
+    iphases = _radix_phases(R, inverse=True)
+    fphases = _radix_phases(R, inverse=False)
+    inv_sqrt_r = 1.0 / math.sqrt(R)
+    # complex fused2 inverse: sublane stage -> scratch, lane stage -> psi
+    u = [
+        _cmatmul_t(
+            wi_ref[r, 0],
+            wi_ref[r, 1],
+            xr_ref[0, r * LEAF : (r + 1) * LEAF, :],
+            xi_ref[0, r * LEAF : (r + 1) * LEAF, :],
+            precision,
+        )
+        for r in range(R)
+    ]
+    combined = _butterfly(u, iphases, inv_sqrt_r)
+    for a in range(R):
+        sr_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][0]
+        si_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][1]
+    u = [
+        _cmatmul(
+            sr_ref[:, r * LEAF : (r + 1) * LEAF],
+            si_ref[:, r * LEAF : (r + 1) * LEAF],
+            wi_ref[r, 0],
+            wi_ref[r, 1],
+            precision,
+        )
+        for r in range(R)
+    ]
+    combined = _butterfly(u, iphases, inv_sqrt_r)
+    rho_chunks = []
+    for a in range(R):
+        pre, pim = combined[a]
+        pr_ref[0, :, a * LEAF : (a + 1) * LEAF] = pre
+        pi_ref[0, :, a * LEAF : (a + 1) * LEAF] = pim
+        rho_chunks.append(prefactor * (pre * pre + pim * pim))
+    # real-forward of rho over the same two axes: lane stage (real input,
+    # half the arithmetic) -> scratch, sublane stage -> out
+    for r in range(R):
+        sre = None
+        sim = None
+        for a, x in enumerate(rho_chunks):
+            w = fphases[r][a]
+            tre = _scale_add(x, w.real, x, 0.0)
+            tim = _scale_add(x, w.imag, x, 0.0)
+            sre = tre if sre is None else sre + tre
+            sim = tim if sim is None else sim + tim
+        sre = sre * inv_sqrt_r
+        sim = sim * inv_sqrt_r
+        yre, yim = _cmatmul(sre, sim, wf_ref[r, 0], wf_ref[r, 1], precision)
+        sr_ref[:, r * LEAF : (r + 1) * LEAF] = yre
+        si_ref[:, r * LEAF : (r + 1) * LEAF] = yim
+    chunks = [
+        (sr_ref[a * LEAF : (a + 1) * LEAF, :], si_ref[a * LEAF : (a + 1) * LEAF, :])
+        for a in range(R)
+    ]
+    s = _butterfly(chunks, fphases, inv_sqrt_r)
+    for r in range(R):
+        yre, yim = _cmatmul_t(wf_ref[r, 0], wf_ref[r, 1], s[r][0], s[r][1], precision)
+        dr_ref[0, r * LEAF : (r + 1) * LEAF, :] = yre
+        di_ref[0, r * LEAF : (r + 1) * LEAF, :] = yim
+
+
+def _fused_kernel_potkick_fwd(
+    coeff_ref, fr_ref, fi_ref, pr_ref, pi_ref, wi_ref, wf_ref,
+    or_ref, oi_ref, mx_ref, sr_ref, si_ref, *, R, n0, precision,
+):
+    """Real inverse of phi_k + potential kick + fused2 forward of psi in
+    ONE HBM pass: phi = Re F2^-1[phi_k] is computed in-register, psi is
+    rotated by exp(i*c*phi) (update :535-545) and forward-transformed over
+    the same two axes — phi NEVER exists in HBM. Also emits max|phi| (the
+    lagged-dt potential bound, get_timestep :905-915) per block."""
+    iphases = _radix_phases(R, inverse=True)
+    fphases = _radix_phases(R, inverse=False)
+    inv_sqrt_r = 1.0 / math.sqrt(R)
+    c = coeff_ref[pl.program_id(0) // n0]
+    # real-output fused2 inverse of phi_k: sublane stage -> scratch
+    u = [
+        _cmatmul_t(
+            wi_ref[r, 0],
+            wi_ref[r, 1],
+            fr_ref[0, r * LEAF : (r + 1) * LEAF, :],
+            fi_ref[0, r * LEAF : (r + 1) * LEAF, :],
+            precision,
+        )
+        for r in range(R)
+    ]
+    combined = _butterfly(u, iphases, inv_sqrt_r)
+    for a in range(R):
+        sr_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][0]
+        si_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][1]
+    u = [
+        _cmatmul(
+            sr_ref[:, r * LEAF : (r + 1) * LEAF],
+            si_ref[:, r * LEAF : (r + 1) * LEAF],
+            wi_ref[r, 0],
+            wi_ref[r, 1],
+            precision,
+        )
+        for r in range(R)
+    ]
+    # lane inverse keeping only Re -> phi chunks in-register; rotate psi
+    mx = None
+    rot_chunks = []
+    for a in range(R):
+        acc = None
+        for r in range(R):
+            w = iphases[a][r]
+            t = _scale_add(u[r][0], w.real, u[r][1], -w.imag)
+            acc = t if acc is None else acc + t
+        phi_a = acc * inv_sqrt_r
+        bm = jnp.max(jnp.abs(phi_a))
+        mx = bm if mx is None else jnp.maximum(mx, bm)
+        ang = c * phi_a
+        cs = jnp.cos(ang)
+        sn = jnp.sin(ang)
+        sl = slice(a * LEAF, (a + 1) * LEAF)
+        xre = pr_ref[0, :, sl]
+        xim = pi_ref[0, :, sl]
+        rot_chunks.append((xre * cs - xim * sn, xim * cs + xre * sn))
+    mx_ref[...] = jnp.broadcast_to(mx, mx_ref.shape).astype(mx_ref.dtype)
+    # fused2 forward of the rotated psi: lane stage -> scratch, sublane out
+    s = _butterfly(rot_chunks, fphases, inv_sqrt_r)
+    for r in range(R):
+        yre, yim = _cmatmul(s[r][0], s[r][1], wf_ref[r, 0], wf_ref[r, 1], precision)
+        sr_ref[:, r * LEAF : (r + 1) * LEAF] = yre
+        si_ref[:, r * LEAF : (r + 1) * LEAF] = yim
+    chunks = [
+        (sr_ref[a * LEAF : (a + 1) * LEAF, :], si_ref[a * LEAF : (a + 1) * LEAF, :])
+        for a in range(R)
+    ]
+    s = _butterfly(chunks, fphases, inv_sqrt_r)
+    for r in range(R):
+        yre, yim = _cmatmul_t(wf_ref[r, 0], wf_ref[r, 1], s[r][0], s[r][1], precision)
+        or_ref[0, r * LEAF : (r + 1) * LEAF, :] = yre
+        oi_ref[0, r * LEAF : (r + 1) * LEAF, :] = yim
+
+
 def _fused_kernel_density_fwd(
     pr_ref, pi_ref, w_ref, or_ref, oi_ref, sr_ref, si_ref, *, R, prefactor, precision
 ):
@@ -481,7 +689,6 @@ def _fused_kernel_density_fwd(
     :1031-1063) — rho never exists in HBM."""
     phases = _radix_phases(R, inverse=False)
     inv_sqrt_r = 1.0 / math.sqrt(R)
-    dot = _rdot(precision, pr_ref.dtype)
     chunks = []
     for a in range(R):
         sl = slice(a * LEAF, (a + 1) * LEAF)
@@ -499,12 +706,9 @@ def _fused_kernel_density_fwd(
             sim = tim if sim is None else sim + tim
         sre = sre * inv_sqrt_r
         sim = sim * inv_sqrt_r
-        sr_ref[:, r * LEAF : (r + 1) * LEAF] = dot(sre, w_ref[r, 0]) - dot(
-            sim, w_ref[r, 1]
-        )
-        si_ref[:, r * LEAF : (r + 1) * LEAF] = dot(sre, w_ref[r, 1]) + dot(
-            sim, w_ref[r, 0]
-        )
+        yre, yim = _cmatmul(sre, sim, w_ref[r, 0], w_ref[r, 1], precision)
+        sr_ref[:, r * LEAF : (r + 1) * LEAF] = yre
+        si_ref[:, r * LEAF : (r + 1) * LEAF] = yim
     chunks = [
         (sr_ref[a * LEAF : (a + 1) * LEAF, :], si_ref[a * LEAF : (a + 1) * LEAF, :])
         for a in range(R)
@@ -641,7 +845,6 @@ def _fused_kernel_real_fwd(xr_ref, w_ref, or_ref, oi_ref, sr_ref, si_ref, *, R, 
     zero imag plane never read) into scratch, complex sublane stage out."""
     phases = _radix_phases(R, inverse=False)
     inv_sqrt_r = 1.0 / math.sqrt(R)
-    dot = _rdot(precision, xr_ref.dtype)
     chunks = [xr_ref[0, :, a * LEAF : (a + 1) * LEAF] for a in range(R)]
     for r in range(R):
         sre = None
@@ -654,12 +857,9 @@ def _fused_kernel_real_fwd(xr_ref, w_ref, or_ref, oi_ref, sr_ref, si_ref, *, R, 
             sim = tim if sim is None else sim + tim
         sre = sre * inv_sqrt_r
         sim = sim * inv_sqrt_r
-        sr_ref[:, r * LEAF : (r + 1) * LEAF] = dot(sre, w_ref[r, 0]) - dot(
-            sim, w_ref[r, 1]
-        )
-        si_ref[:, r * LEAF : (r + 1) * LEAF] = dot(sre, w_ref[r, 1]) + dot(
-            sim, w_ref[r, 0]
-        )
+        yre, yim = _cmatmul(sre, sim, w_ref[r, 0], w_ref[r, 1], precision)
+        sr_ref[:, r * LEAF : (r + 1) * LEAF] = yre
+        si_ref[:, r * LEAF : (r + 1) * LEAF] = yim
     chunks = [
         (sr_ref[a * LEAF : (a + 1) * LEAF, :], si_ref[a * LEAF : (a + 1) * LEAF, :])
         for a in range(R)
@@ -678,7 +878,6 @@ def _fused_kernel_real_inv(
     into scratch, real-output lane inverse out (half its arithmetic)."""
     phases = _radix_phases(R, inverse=True)
     inv_sqrt_r = 1.0 / math.sqrt(R)
-    dot = _rdot(precision, xr_ref.dtype)
     u = [
         _cmatmul_t(
             w_ref[r, 0],
@@ -699,12 +898,7 @@ def _fused_kernel_real_inv(
         xim = si_ref[:, r * LEAF : (r + 1) * LEAF]
         # Re(U_r) and Im(U_r) are both needed by the butterfly's complex
         # phases; only the final output drops the imag plane.
-        u.append(
-            (
-                dot(xre, w_ref[r, 0]) - dot(xim, w_ref[r, 1]),
-                dot(xre, w_ref[r, 1]) + dot(xim, w_ref[r, 0]),
-            )
-        )
+        u.append(_cmatmul(xre, xim, w_ref[r, 0], w_ref[r, 1], precision))
     for a in range(R):
         acc = None
         for r in range(R):
@@ -1064,6 +1258,144 @@ def _axis_pass_fused2_density(pr, pi, prefactor: float):
     return out[0].reshape(shape), out[1].reshape(shape)
 
 
+def _axis_pass_fused2_inv_density(xr, xi, prefactor: float):
+    """One-pass fused2 inverse + in-register density forward (see kernel).
+    Returns (psi_re, psi_im, rhoT_re, rhoT_im)."""
+    size = xr.shape[-1]
+    assert xr.shape[-2] == size
+    R = size // LEAF
+    wi = jnp.asarray(_matrices(size, True, xr.dtype.name))
+    wf = jnp.asarray(_matrices(size, False, xr.dtype.name))
+    lead = xr.shape[:-2]
+    m = int(np.prod(lead)) if lead else 1
+    spec = pl.BlockSpec((1, size, size), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(
+        (R, 2, LEAF, LEAF), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(
+        _fused_kernel_inv_density,
+        R=R,
+        prefactor=float(prefactor),
+        precision=_precision(),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(m,),
+        in_specs=[spec, spec, wspec, wspec],
+        out_specs=[spec, spec, spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((m, size, size), xr.dtype)] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((size, size), xr.dtype),
+            pltpu.VMEM((size, size), xr.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(xr.reshape(m, size, size), xi.reshape(m, size, size), wi, wf)
+    shape = lead + (size, size)
+    return tuple(o.reshape(shape) for o in out)
+
+
+def _axis_pass_fused2_potkick_fwd(fr, fi, pr, pi, coeff):
+    """One-pass real inverse of phi_k + exp(i*coeff_b*phi) kick on psi +
+    fused2 forward (see kernel). Returns (psikT_re, psikT_im, absmax)
+    with absmax one scalar per leading-block (batch*n0) element."""
+    size = fr.shape[-1]
+    assert fr.shape[-2] == size
+    R = size // LEAF
+    wi = jnp.asarray(_matrices(size, True, fr.dtype.name))
+    wf = jnp.asarray(_matrices(size, False, fr.dtype.name))
+    lead = fr.shape[:-2]
+    m = int(np.prod(lead)) if lead else 1
+    coeff = jnp.asarray(coeff, fr.dtype).reshape(-1)
+    b = coeff.shape[0]
+    assert m % b == 0
+    n0 = m // b
+    spec = pl.BlockSpec(
+        (1, size, size), lambda i, *_refs: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    wspec = pl.BlockSpec(
+        (R, 2, LEAF, LEAF), lambda i, *_refs: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    sspec = pl.BlockSpec(
+        (1, 8, LEAF), lambda i, *_refs: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(
+        _fused_kernel_potkick_fwd, R=R, n0=n0, precision=_precision()
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(m,),
+            in_specs=[spec, spec, spec, spec, wspec, wspec],
+            out_specs=[spec, spec, sspec],
+            scratch_shapes=[
+                pltpu.VMEM((size, size), fr.dtype),
+                pltpu.VMEM((size, size), fr.dtype),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((m, size, size), fr.dtype),
+            jax.ShapeDtypeStruct((m, size, size), fr.dtype),
+            jax.ShapeDtypeStruct((m, 8, LEAF), fr.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(
+        coeff,
+        fr.reshape(m, size, size),
+        fi.reshape(m, size, size),
+        pr.reshape(m, size, size),
+        pi.reshape(m, size, size),
+        wi,
+        wf,
+    )
+    shape = lead + (size, size)
+    return out[0].reshape(shape), out[1].reshape(shape), out[2][:, 0, 0]
+
+
+def fused_step_3d(psik, spec, kcoeff, vcoeff, pmap, mask, prefactor: float):
+    """The full lagged KDK step interior (update :475-661) in FIVE HBM
+    passes over a 3-D grid — rho, rho_k, phi_k and phi never exist in HBM:
+
+      1. sublane inverse of axis 0 with the merged kinetic half-kick
+         exp(i*kcoeff*k^2) on its read of psik;
+      2. fused2 inverse of (y, z) materializing psi, with the density
+         rho = prefactor*|psi|^2 synthesized in-register and forward-
+         transformed over the same two axes;
+      3. one-kernel axis-0 roundtrip F -> (-coeff/k^2) -> F^-1 of rho;
+      4. real inverse of phi_k over (y, z) in-register, potential kick
+         exp(i*vcoeff*phi) on psi, fused2 forward — also emits max|phi|
+         (the lagged-dt bound);
+      5. sublane forward of axis 0 — also emits sum|psik|^2 (unitarity)
+         and sum(mask*|psik|^2) (alias mass) per block.
+
+    Returns (psi, psik_new, norm_sums, alias_sums, phi_max) with the
+    reductions shaped like the leading batch axes. The closing half-kick
+    is NOT applied (the caller defers/merges it; _finalize_step).
+    """
+    lead = psik.shape[:-3]
+    n0 = psik.shape[-3]
+    xr = jnp.real(psik)
+    xi = jnp.imag(psik)
+    ax0 = psik.ndim - 3
+    xr, xi = _axis_pass_sublane_inv_kphase(xr, xi, ax0, spec, kcoeff)
+    pr, pi, dr, di = _axis_pass_fused2_inv_density(xr, xi, prefactor)
+    dr, di = _axis_pass_sublane_roundtrip_pmap(dr, di, ax0, pmap)
+    qr, qi, mx = _axis_pass_fused2_potkick_fwd(dr, di, pr, pi, vcoeff)
+    qr, qi, ns, am = _axis_pass_sublane_fwd_reduce(qr, qi, ax0, mask)
+    phi_max = jnp.max(mx.reshape(lead + (n0,)), axis=-1)
+    ns = jnp.sum(ns.reshape(lead + (-1,)), axis=-1)
+    am = jnp.sum(am.reshape(lead + (-1,)), axis=-1)
+    return (
+        jax.lax.complex(pr, pi),
+        jax.lax.complex(qr, qi),
+        ns,
+        am,
+        phi_max,
+    )
+
+
 def _axis_pass_sublane(xr, xi, axis: int, inverse: bool):
     """Transform axis `axis` (not the last) of planar arrays."""
     size = xr.shape[axis]
@@ -1104,6 +1436,85 @@ def _axis_pass_sublane(xr, xi, axis: int, inverse: bool):
     )(xr3, xi3, w)
     shape = lead + (size,) + trail
     return out[0].reshape(shape), out[1].reshape(shape)
+
+
+def _axis_pass_sublane_fwd_reduce(xr, xi, axis: int, mask):
+    """Forward sublane pass emitting per-block partial sum(|y|^2) and
+    sum(mask*|y|^2) alongside the transform (see kernel)."""
+    size, b1, lanes, width = _sublane_view(xr, axis)
+    R = size // LEAF
+    w = jnp.asarray(_matrices(size, False, xr.dtype.name))
+    xr3 = xr.reshape(b1, size, lanes)
+    xi3 = xi.reshape(b1, size, lanes)
+    mask3 = jnp.asarray(mask, xr.dtype).reshape(1, size, lanes)
+    nblk = lanes // width
+    grid = (b1, nblk)
+    spec_x = pl.BlockSpec(
+        (1, size, width), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    spec_m = pl.BlockSpec(
+        (1, size, width), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM
+    )
+    wspec = pl.BlockSpec(
+        (R, 2, LEAF, LEAF), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    sspec = pl.BlockSpec(
+        (1, 1, 8, LEAF), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(
+        _sublane_kernel_fwd_reduce, R=R, precision=_precision()
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[spec_x, spec_x, wspec, spec_m],
+        out_specs=[spec_x, spec_x, sspec, sspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
+            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
+            jax.ShapeDtypeStruct((b1, nblk, 8, LEAF), xr.dtype),
+            jax.ShapeDtypeStruct((b1, nblk, 8, LEAF), xr.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(xr3, xi3, w, mask3)
+    return (
+        out[0].reshape(xr.shape),
+        out[1].reshape(xr.shape),
+        out[2][..., 0, 0],
+        out[3][..., 0, 0],
+    )
+
+
+def forward_engine_reduce(psi: jnp.ndarray, dims: int, *, xphase=None, mask):
+    """forward_engine plus fused spatial reductions sum|psik|^2 and
+    sum(mask*|psik|^2) (the step's unitarity norm and alias mass,
+    check_alias :1249-1293) — no separate full-grid read of psik.
+
+    3-D fused geometry only (the final pass is the axis-0 sublane pass);
+    falls back to forward_engine + XLA reductions otherwise. Returns
+    (psik_engine, norm_sums, alias_sums) with the sums shaped like the
+    leading batch axes.
+    """
+    lead = psi.shape[: psi.ndim - dims]
+    if _fuse2_ok(psi.shape, dims) and dims == 3:
+        xr = jnp.real(psi)
+        xi = jnp.imag(psi)
+        if xphase is not None:
+            xr, xi = _axis_pass_fused2_fwd_xphase(xr, xi, *xphase)
+        else:
+            xr, xi = _axis_pass_fused2(xr, xi, inverse=False)
+        xr, xi, ns, am = _axis_pass_sublane_fwd_reduce(
+            xr, xi, psi.ndim - 3, mask
+        )
+        ns = jnp.sum(ns.reshape(lead + (-1,)), axis=-1)
+        am = jnp.sum(am.reshape(lead + (-1,)), axis=-1)
+        return jax.lax.complex(xr, xi), ns, am
+    psik = forward_engine(psi, dims, xphase=xphase)
+    p2 = jnp.real(psik) ** 2 + jnp.imag(psik) ** 2
+    axes = tuple(range(psik.ndim - dims, psik.ndim))
+    m = jnp.asarray(mask, p2.dtype)
+    return psik, jnp.sum(p2, axis=axes), jnp.sum(p2 * m, axis=axes)
 
 
 # ---------------------------------------------------------------------------
@@ -1189,8 +1600,12 @@ def inverse_engine(
     return jax.lax.complex(xr, xi)
 
 
-def _axis_pass_fused2_real(x_or_pair, inverse: bool):
-    """Fused last-two-axes pass, real input (forward) / real output (inverse)."""
+def _axis_pass_fused2_real(x_or_pair, inverse: bool, absmax: bool = False):
+    """Fused last-two-axes pass, real input (forward) / real output (inverse).
+
+    absmax=True (inverse only): also emit per-block partial max|out| — the
+    lagged-dt potential bound max|phi| rides phi's write. Returns
+    (out, partials (m, 1))."""
     if inverse:
         xr, xi = x_or_pair
     else:
@@ -1228,6 +1643,24 @@ def _axis_pass_fused2_real(x_or_pair, inverse: bool):
         )(xr.reshape(m, size, size), w)
         shape = lead + (size, size)
         return out[0].reshape(shape), out[1].reshape(shape)
+    if absmax:
+        sspec = pl.BlockSpec(
+            (1, 8, LEAF), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
+        kern = functools.partial(
+            _fused_kernel_real_inv_absmax, R=R, precision=_precision()
+        )
+        out, mx = pl.pallas_call(
+            kern,
+            in_specs=[spec, spec, wspec],
+            out_specs=[spec, sspec],
+            out_shape=[
+                jax.ShapeDtypeStruct((m, size, size), xr.dtype),
+                jax.ShapeDtypeStruct((m, 8, LEAF), xr.dtype),
+            ],
+            **common,
+        )(xr.reshape(m, size, size), xi.reshape(m, size, size), w)
+        return out.reshape(lead + (size, size)), mx[:, 0, 0]
     kern = functools.partial(_fused_kernel_real_inv, R=R, precision=_precision())
     out = pl.pallas_call(
         kern,
@@ -1271,8 +1704,8 @@ def forward_engine_density(
 
 
 def poisson_solve(
-    psi: jnp.ndarray, dims: int, prefactor: float, pmap
-) -> jnp.ndarray:
+    psi: jnp.ndarray, dims: int, prefactor: float, pmap, *, with_absmax=False
+):
     """The whole spectral Poisson solve (calculate_potential :1031-1110) in
     THREE HBM passes for 3-D grids:
 
@@ -1284,15 +1717,28 @@ def poisson_solve(
 
     pmap is the full k-space map in ENGINE order. Falls back to the
     two-call path (4 passes) off the fused geometry.
+
+    with_absmax=True: also return per-stream max|phi| (the lagged-dt
+    potential bound, get_timestep :905-915) emitted by the inverse kernel
+    — no separate full-grid read of phi. Returns (phi, absmax) shaped
+    like the leading batch axes.
     """
+    lead = psi.shape[: psi.ndim - dims]
     if _fuse2_ok(psi.shape, dims) and dims == 3:
         pr = jnp.real(psi)
         pi = jnp.imag(psi)
         xr, xi = _axis_pass_fused2_density(pr, pi, prefactor)
         xr, xi = _axis_pass_sublane_roundtrip_pmap(xr, xi, psi.ndim - 3, pmap)
+        if with_absmax:
+            phi, mx = _axis_pass_fused2_real((xr, xi), inverse=True, absmax=True)
+            return phi, jnp.max(mx.reshape(lead + (-1,)), axis=-1)
         return _axis_pass_fused2_real((xr, xi), inverse=True)
     rho_k = forward_engine_density(psi, dims, prefactor)
-    return inverse_engine_real(rho_k, dims, pmap=pmap)
+    phi = inverse_engine_real(rho_k, dims, pmap=pmap)
+    if with_absmax:
+        axes = tuple(range(phi.ndim - dims, phi.ndim))
+        return phi, jnp.max(jnp.abs(phi), axis=axes)
+    return phi
 
 
 def inverse_engine_real(

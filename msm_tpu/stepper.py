@@ -446,11 +446,12 @@ class Stepper:
             self.params.dk**self.params.dims, self.rdtype
         )
 
-    def _track_norm(self, state: SimState, psik):
+    def _track_norm(self, state: SimState, psik, nrm=None):
         """Update the running unitarity monitor (debug-checks mode only)."""
         if not self.debug_checks:
             return state.max_norm_err
-        nrm = self._norm_measure(psik)
+        if nrm is None:
+            nrm = self._norm_measure(psik)
         err = jnp.abs(nrm / state.norm0 - 1.0)
         err = jnp.where(jnp.isfinite(err), err, jnp.inf)
         return jnp.maximum(state.max_norm_err, err.astype(state.max_norm_err.dtype))
@@ -520,6 +521,41 @@ class Stepper:
         rho_k = self._fwd(rho.astype(self.dtype))
         phi_k = self._poisson_multiply(rho_k, consts)
         return jnp.real(self._inv(phi_k))
+
+    def _potential_with_max(self, psi, consts: StepConsts):
+        """(phi, per-stream max|phi|): on the fused-phase path the max is
+        emitted by the Poisson inverse kernel itself (no separate full-grid
+        read of phi for the lagged-dt bound, get_timestep :905-915)."""
+        if self.fuse_phases:
+            from .ops import mxu_fft
+
+            phi, mx = mxu_fft.poisson_solve(
+                psi,
+                self.params.dims,
+                self.density_prefactor,
+                consts.poisson_map,
+                with_absmax=True,
+            )
+            return phi, mx.astype(self.tdtype)
+        phi = self._potential(psi, consts)
+        return phi, self._spatial_max(jnp.abs(phi)).astype(self.tdtype)
+
+    def _fwd_with_kick_reduce(self, psi, phi, coeff, consts: StepConsts):
+        """(psik, norm, alias_mass) with the two spatial reductions fused
+        into the forward transform's final pass on the fused-phase path
+        (check_alias :1249-1293; check_norm grid.rs:35-64)."""
+        p = self.params
+        dkd = jnp.asarray(p.dk**p.dims, self.rdtype)
+        if self.fuse_phases:
+            from .ops import mxu_fft
+
+            psik, ns, am = mxu_fft.forward_engine_reduce(
+                psi, p.dims, xphase=(phi, coeff), mask=consts.alias_mask
+            )
+            return psik, ns * dkd, am * dkd
+        psik = self._fwd_with_kick(psi, phi, coeff)
+        nrm = self._norm_measure(psik) if self.debug_checks else None
+        return psik, nrm, self._alias_mass(psik, consts)
 
     def _timestep(self, phi, state: SimState, consts: StepConsts):
         """Adaptive dt (or dtau): min of kinetic, potential, next-dump.
@@ -611,19 +647,42 @@ class Stepper:
         vcoeff = (-dt / hbar_).astype(self.rdtype)
 
         # Half kick in k-space: exp(-i * dt/4 * hbar_ * k^2) (:504-516),
-        # merged with any half-kick deferred by the previous step (lagged)
-        psi = self._inv_with_kick(state.psik, state.pending_k + kcoeff, consts)
-        # Full potential kick at the half-step: exp(-i * dt/hbar_ * phi) (:530-545)
-        phi = self._potential(psi, consts)
-        phi_max = self._spatial_max(jnp.abs(phi)).astype(self.tdtype)
-        psik = self._fwd_with_kick(psi, phi, vcoeff)
+        # merged with any half-kick deferred by the previous step (lagged);
+        # full potential kick at the half-step: exp(-i * dt/hbar_ * phi)
+        # (:530-545). On the fused-phase path the WHOLE interior runs in
+        # five Pallas passes (mxu_fft.fused_step_3d): rho/rho_k/phi_k/phi
+        # never exist in HBM and max|phi| + the alias/norm reductions ride
+        # the kernels (|psik| is invariant under _finalize_step's phase).
+        if self.fuse_phases:
+            from .ops import mxu_fft
+
+            dkd = jnp.asarray(p.dk**p.dims, self.rdtype)
+            psi, psik, ns, am, phi_max = mxu_fft.fused_step_3d(
+                state.psik,
+                consts.spec_grid,
+                state.pending_k + kcoeff,
+                vcoeff,
+                consts.poisson_map,
+                consts.alias_mask,
+                self.density_prefactor,
+            )
+            phi_max = phi_max.astype(self.tdtype)
+            nrm = ns * dkd
+            alias_mass = am * dkd
+        else:
+            psi = self._inv_with_kick(
+                state.psik, state.pending_k + kcoeff, consts
+            )
+            phi, phi_max = self._potential_with_max(psi, consts)
+            psik, nrm, alias_mass = self._fwd_with_kick_reduce(
+                psi, phi, vcoeff, consts
+            )
         # Second half kick (:562-574), deferred on lagged non-dump steps
         psi, psik, pending = self._finalize_step(
             psik, state.psi, is_dump, kcoeff, consts
         )
 
         time = state.time + dt
-        alias_mass = self._alias_mass(psik, consts)
         aliased = state.aliased | (alias_mass > p.alias_threshold)
 
         return dataclasses.replace(
@@ -636,7 +695,7 @@ class Stepper:
             aliased=aliased,
             alias_mass=alias_mass,
             phi_max=phi_max,
-            max_norm_err=self._track_norm(state, psik),
+            max_norm_err=self._track_norm(state, psik, nrm=nrm),
             pending_k=pending,
         )
 
@@ -657,33 +716,49 @@ class Stepper:
             dtau, is_dump = self._timestep(None, state, consts)
         kcoeff = (-dtau / 4.0).astype(self.rdtype)
 
-        psi = self._inv_with_kick(state.psik, state.pending_k + kcoeff, consts)
-        phi = self._potential(psi, consts)
-        phi_max = self._spatial_max(jnp.abs(phi)).astype(self.tdtype)
-
         # Both half-kicks rotate by the SAME phi (only the a-dependent
         # coefficient differs), so on the fused path they collapse to one
-        # rotation exp(i*(v1+v2)*phi) inside the forward transform.
+        # rotation exp(i*(v1+v2)*phi) inside the forward transform. The
+        # scale-factor advance depends only on dtau, so vtot is known
+        # before the grid work and the whole interior fuses (static-step
+        # comment above).
         a, t, tau = state.a, state.time, state.tau
-        vtot = None
+        vcoeffs = []
         for _ in range(2):
-            vcoeff = ((-dtau / 2.0) * a).astype(self.rdtype)
-            if self.fuse_phases:
-                vtot = vcoeff if vtot is None else vtot + vcoeff
-            else:
-                psi = self._apply_potential(psi, phi, vcoeff)
+            vcoeffs.append(((-dtau / 2.0) * a).astype(self.rdtype))
             a, t = cosmo_mod.advance_a_t_by_dtau(a, t, dtau / 2.0, c)
             tau = tau + dtau / 2.0
 
         if self.fuse_phases:
-            psik = self._fwd_with_kick(psi, phi, vtot)
+            from .ops import mxu_fft
+
+            dkd = jnp.asarray(p.dk**p.dims, self.rdtype)
+            psi, psik, ns, am, phi_max = mxu_fft.fused_step_3d(
+                state.psik,
+                consts.spec_grid,
+                state.pending_k + kcoeff,
+                vcoeffs[0] + vcoeffs[1],
+                consts.poisson_map,
+                consts.alias_mask,
+                self.density_prefactor,
+            )
+            phi_max = phi_max.astype(self.tdtype)
+            nrm = ns * dkd
+            alias_mass = am * dkd
         else:
+            psi = self._inv_with_kick(
+                state.psik, state.pending_k + kcoeff, consts
+            )
+            phi, phi_max = self._potential_with_max(psi, consts)
+            for vcoeff in vcoeffs:
+                psi = self._apply_potential(psi, phi, vcoeff)
             psik = self._fwd(psi)
+            nrm = self._norm_measure(psik) if self.debug_checks else None
+            alias_mass = self._alias_mass(psik, consts)
         psi, psik, pending = self._finalize_step(
             psik, state.psi, is_dump, kcoeff, consts
         )
 
-        alias_mass = self._alias_mass(psik, consts)
         aliased = state.aliased | (alias_mass > p.alias_threshold)
 
         return dataclasses.replace(
@@ -698,7 +773,7 @@ class Stepper:
             aliased=aliased,
             alias_mass=alias_mass,
             phi_max=phi_max,
-            max_norm_err=self._track_norm(state, psik),
+            max_norm_err=self._track_norm(state, psik, nrm=nrm),
             pending_k=pending,
         )
 

@@ -223,3 +223,44 @@ def test_mxu_bf16x3_precision_mode(rng):
         assert np.abs(back - x).max() < 2e-4
     finally:
         m._PRECISION = saved
+
+
+def test_mxu_fused_reductions(rng):
+    """forward_engine_reduce's in-kernel sums and poisson_solve's in-kernel
+    max|phi| equal the separate XLA reductions."""
+    psi = (
+        rng.standard_normal((2, 128, 128, 128))
+        + 1j * rng.standard_normal((2, 128, 128, 128))
+    ).astype(np.complex64)
+    mask = (rng.random((128, 128, 128)) > 0.7).astype(np.float32)
+    psik, ns, am = mxu_fft.forward_engine_reduce(jnp.asarray(psi), 3, mask=mask)
+    ref_k = mxu_fft.forward_engine(jnp.asarray(psi), 3)
+    np.testing.assert_allclose(np.asarray(psik), np.asarray(ref_k), atol=1e-5)
+    p2 = np.abs(np.asarray(ref_k)) ** 2
+    np.testing.assert_allclose(
+        np.asarray(ns), p2.sum(axis=(1, 2, 3)), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(am), (p2 * mask).sum(axis=(1, 2, 3)), rtol=1e-5
+    )
+
+    spec_e = mxu_fft.permute_spec(
+        sum(
+            np.square(2.0 * np.pi * np.fft.fftfreq(128, d=1.0 / 128))[sh]
+            for sh in (
+                (slice(None), None, None),
+                (None, slice(None), None),
+                (None, None, slice(None)),
+            )
+        ),
+        3,
+    )
+    pmap = np.where(spec_e > 0, -1.0 / np.where(spec_e > 0, spec_e, 1.0), 0.0)
+    phi, mx = mxu_fft.poisson_solve(
+        jnp.asarray(psi), 3, 2.0, jnp.asarray(pmap), with_absmax=True
+    )
+    ref_phi = mxu_fft.poisson_solve(jnp.asarray(psi), 3, 2.0, jnp.asarray(pmap))
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(ref_phi), atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(mx), np.abs(np.asarray(ref_phi)).max(axis=(1, 2, 3)), rtol=1e-6
+    )
