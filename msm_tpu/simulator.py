@@ -439,13 +439,26 @@ def run_single(
                 run.dump_field(np.asarray(stepper.potential(state.psi)), 0, "potential")
             run.write_manifest(_state_scalars(state))
 
-        while stepper.not_finished(state):
-            state = stepper.evolve_to_next_dump(state)
+        def _advance(s):
+            # snap is just_dumped-gated, so it is a no-op on alias-aborted
+            # mid-interval states and composing it here is safe.
+            return stepper.snap_after_dump(stepper.evolve_to_next_dump(s))
+
+        inflight = _advance(state) if stepper.not_finished(state) else None
+        while inflight is not None:
+            state = inflight
+            # Dispatch interval i+1 BEFORE any host-blocking fetch of
+            # interval i's results: the device executes in order, so the
+            # psi transfer + npy write below overlap with i+1's compute
+            # (and, on the tunneled backend, hide its per-dispatch cost).
+            # A wrong speculation (final interval or alias abort) costs
+            # one no-op dispatch — the evolve while_loop's condition
+            # fails immediately on finished/aliased states.
+            speculative = _advance(state)
             if bool(state.aliased):
                 run.write_manifest(_state_scalars(state))
                 _report_aliasing(params, float(np.asarray(state.alias_mass)), strict_alias)
                 break
-            state = stepper.snap_after_dump(state)
             if debug_checks:
                 err = float(np.asarray(state.max_norm_err))
                 if not err < 1e-3:
@@ -467,6 +480,7 @@ def run_single(
                     f"({params.sim_name}) dump {idx}/{params.num_data_dumps} "
                     f"t = {scalars['time']:.6g}"
                 )
+            inflight = speculative if stepper.not_finished(state) else None
     finally:
         if own_writer:
             writer.close()
@@ -654,13 +668,25 @@ def run_config(
             combine_dump(np.ones(n, bool), 0)
 
         total_steps = 0
-        while stepper.not_finished(state):
-            state = stepper.evolve_to_next_dump(state, batched=True)
-            pre_view = _EnsembleHostView(state, n, fetch_psi=False)
+
+        def _advance_batched(s):
+            raw = stepper.evolve_to_next_dump(s, batched=True)
+            return raw, stepper.snap_after_dump(raw)
+
+        inflight = (
+            _advance_batched(state) if stepper.not_finished(state) else None
+        )
+        while inflight is not None:
+            raw, state = inflight
+            # Dispatch interval i+1 BEFORE the host-blocking fetches below:
+            # the per-stream psi transfers + npy writes overlap with i+1's
+            # compute (see the single-run loop for the speculation safety
+            # argument — evolve no-ops on finished/aliased states).
+            speculative = _advance_batched(state)
+            pre_view = _EnsembleHostView(raw, n, fetch_psi=False)
             total_steps = int(np.asarray(pre_view.scalar("n_steps")).max())
             aliased = pre_view.scalar("aliased")
             just_dumped = pre_view.scalar("just_dumped")
-            state = stepper.snap_after_dump(state)
             view = _EnsembleHostView(state, n, stepper=stepper)
             dumps_np = view.scalar("current_dumps")
             for i in view.owned:
@@ -701,6 +727,9 @@ def run_config(
                 progress.update(done, redshift=1.0 / float(view.scalar("a").min()) - 1.0)
             else:
                 progress.update(done, sim_time=float(view.scalar("time").min()))
+            inflight = (
+                speculative if stepper.not_finished(state) else None
+            )
         if combiner is not None and process0:
             combiner.finalize()
         timer.stop(n_steps=total_steps)
