@@ -79,6 +79,16 @@ _FUSE2 = True
 
 _VMEM_LIMIT = 100 * 1024 * 1024
 
+def _cparams(grid_ndim: int):
+    """Every kernel grid axis here is embarrassingly parallel (blocks are
+    independent); telling Mosaic so lets it pipeline block DMA with
+    compute across grid iterations."""
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_LIMIT,
+        dimension_semantics=("parallel",) * grid_ndim,
+    )
+
+
 
 def supported(size: int) -> bool:
     return size % LEAF == 0 and size // LEAF in (1, 2, 4, 8)
@@ -318,24 +328,45 @@ def _lane_kernel(xr_ref, xi_ref, w_ref, or_ref, oi_ref, *, R, inverse, precision
             oi_ref[:, a * LEAF : (a + 1) * LEAF] = combined[a][1]
 
 
+
+def _real_fwd_lane_stage(chunks, phases, inv_sqrt_r, w_ref, precision):
+    """Lane-stage DFT of REAL chunks: yields (r, yre, yim). When row r's
+    radix phases are all real (always true for R <= 2), the imaginary
+    butterfly accumulation is identically zero and the complex leaf
+    matmul collapses to 2 real dots instead of 3 (Karatsuba) / 4."""
+    R = len(chunks)
+    dims = (((1,), (0,)), ((), ()))
+    for r in range(R):
+        row = phases[r]
+        all_real = all(abs(w.imag) < 1e-30 for w in row)
+        sre = None
+        sim = None
+        for a, x in enumerate(chunks):
+            w = row[a]
+            tre = _scale_add(x, w.real, x, 0.0)
+            sre = tre if sre is None else sre + tre
+            if not all_real:
+                tim = _scale_add(x, w.imag, x, 0.0)
+                sim = tim if sim is None else sim + tim
+        sre = sre * inv_sqrt_r
+        if all_real:
+            dot = _dot_fn(precision, dims, sre.dtype)
+            yield r, dot(sre, w_ref[r, 0]), dot(sre, w_ref[r, 1])
+        else:
+            sim = sim * inv_sqrt_r
+            yre, yim = _cmatmul(sre, sim, w_ref[r, 0], w_ref[r, 1], precision)
+            yield r, yre, yim
+
+
 def _lane_kernel_real_fwd(xr_ref, w_ref, or_ref, oi_ref, *, R, precision):
     """Forward lane pass for REAL input (imag plane identically zero):
     half the butterfly adds and half the matmuls (the Poisson density)."""
     phases = _radix_phases(R, inverse=False)
     inv_sqrt_r = 1.0 / math.sqrt(R)
     chunks = [xr_ref[:, a * LEAF : (a + 1) * LEAF] for a in range(R)]
-    for r in range(R):
-        sre = None
-        sim = None
-        for a, x in enumerate(chunks):
-            w = phases[r][a]
-            tre = _scale_add(x, w.real, x, 0.0)
-            tim = _scale_add(x, w.imag, x, 0.0)
-            sre = tre if sre is None else sre + tre
-            sim = tim if sim is None else sim + tim
-        sre = sre * inv_sqrt_r
-        sim = sim * inv_sqrt_r
-        yre, yim = _cmatmul(sre, sim, w_ref[r, 0], w_ref[r, 1], precision)
+    for r, yre, yim in _real_fwd_lane_stage(
+        chunks, phases, inv_sqrt_r, w_ref, precision
+    ):
         or_ref[:, r * LEAF : (r + 1) * LEAF] = yre
         oi_ref[:, r * LEAF : (r + 1) * LEAF] = yim
 
@@ -535,6 +566,98 @@ def _fused_kernel_real_inv_absmax(
     mx_ref[...] = jnp.broadcast_to(mx, mx_ref.shape).astype(mx_ref.dtype)
 
 
+def _sublane_kernel_inv_kphase_sep(
+    xr_ref, xi_ref, w_ref, f0c_ref, f0s_ref, f12c_ref, f12s_ref,
+    or_ref, oi_ref, *, R, precision,
+):
+    """Inverse sublane pass with the kinetic phase built from SEPARABLE
+    1-D factor tables: exp(i*c*k^2) = exp(i*c*s0[p0]) * exp(i*c*s12[j])
+    (k^2 = k0^2 + (k1^2+k2^2) is additive), so the phase costs 4 VPU
+    multiplies per element instead of a full-grid spec read + sin/cos
+    (update :504-516). f0 is (size, 1) per batch, f12 is (1, lanes)."""
+    phases = _radix_phases(R, inverse=True)
+    inv_sqrt_r = 1.0 / math.sqrt(R)
+    c12 = f12c_ref[0]
+    s12 = f12s_ref[0]
+    u = []
+    for r in range(R):
+        sl = slice(r * LEAF, (r + 1) * LEAF)
+        c0 = f0c_ref[0, sl, :]
+        s0 = f0s_ref[0, sl, :]
+        pr = c0 * c12 - s0 * s12
+        pi = c0 * s12 + s0 * c12
+        xre = xr_ref[0, sl, :]
+        xim = xi_ref[0, sl, :]
+        rre = xre * pr - xim * pi
+        rim = xim * pr + xre * pi
+        u.append(_cmatmul_t(w_ref[r, 0], w_ref[r, 1], rre, rim, precision))
+    combined = _butterfly(u, phases, inv_sqrt_r)
+    for a in range(R):
+        or_ref[0, a * LEAF : (a + 1) * LEAF, :] = combined[a][0]
+        oi_ref[0, a * LEAF : (a + 1) * LEAF, :] = combined[a][1]
+
+
+def _sublane_kernel_roundtrip_poisson_sep(
+    xr_ref, xi_ref, wf_ref, wi_ref, s0_ref, s12_ref, or_ref, oi_ref,
+    *, R, coeff, precision,
+):
+    """`_sublane_kernel_roundtrip_pmap` with the Poisson map synthesized
+    in-register from the separable k^2 tables: -coeff / (s0[p0] + s12[j])
+    with the k=0 mode zeroed (calculate_potential :1076-1102) — no
+    full-grid map read. coeff is a python-float constant."""
+    fphases = _radix_phases(R, inverse=False)
+    iphases = _radix_phases(R, inverse=True)
+    inv_sqrt_r = 1.0 / math.sqrt(R)
+    s12 = s12_ref[...]
+    chunks = [
+        (xr_ref[0, a * LEAF : (a + 1) * LEAF, :], xi_ref[0, a * LEAF : (a + 1) * LEAF, :])
+        for a in range(R)
+    ]
+    s = _butterfly(chunks, fphases, inv_sqrt_r)
+    u = []
+    for r in range(R):
+        yre, yim = _cmatmul_t(wf_ref[r, 0], wf_ref[r, 1], s[r][0], s[r][1], precision)
+        k2 = s0_ref[r * LEAF : (r + 1) * LEAF, :] + s12
+        m = jnp.where(k2 > 0.0, -coeff / jnp.where(k2 > 0.0, k2, 1.0), 0.0)
+        u.append(_cmatmul_t(wi_ref[r, 0], wi_ref[r, 1], yre * m, yim * m, precision))
+    combined = _butterfly(u, iphases, inv_sqrt_r)
+    for a in range(R):
+        or_ref[0, a * LEAF : (a + 1) * LEAF, :] = combined[a][0]
+        oi_ref[0, a * LEAF : (a + 1) * LEAF, :] = combined[a][1]
+
+
+def _sublane_kernel_fwd_reduce_sep(
+    xr_ref, xi_ref, w_ref, s0_ref, s12_ref, or_ref, oi_ref, ns_ref, as_ref,
+    *, R, cutoff, precision,
+):
+    """`_sublane_kernel_fwd_reduce` with the alias mask synthesized
+    in-register from the separable k^2 tables: mask = (s0[p0] + s12[j]) >
+    cutoff (check_alias :1249-1293) — no full-grid mask read. cutoff is a
+    python-float constant (k2_cutoff * k2_max)."""
+    phases = _radix_phases(R, inverse=False)
+    inv_sqrt_r = 1.0 / math.sqrt(R)
+    s12 = s12_ref[...]
+    chunks = [
+        (xr_ref[0, a * LEAF : (a + 1) * LEAF, :], xi_ref[0, a * LEAF : (a + 1) * LEAF, :])
+        for a in range(R)
+    ]
+    s = _butterfly(chunks, phases, inv_sqrt_r)
+    nsum = None
+    asum = None
+    for r in range(R):
+        yre, yim = _cmatmul_t(w_ref[r, 0], w_ref[r, 1], s[r][0], s[r][1], precision)
+        or_ref[0, r * LEAF : (r + 1) * LEAF, :] = yre
+        oi_ref[0, r * LEAF : (r + 1) * LEAF, :] = yim
+        p2 = yre * yre + yim * yim
+        k2 = s0_ref[r * LEAF : (r + 1) * LEAF, :] + s12
+        ns = jnp.sum(p2)
+        am = jnp.sum(jnp.where(k2 > cutoff, p2, 0.0))
+        nsum = ns if nsum is None else nsum + ns
+        asum = am if asum is None else asum + am
+    ns_ref[...] = jnp.broadcast_to(nsum, ns_ref.shape).astype(ns_ref.dtype)
+    as_ref[...] = jnp.broadcast_to(asum, as_ref.shape).astype(as_ref.dtype)
+
+
 def _fused_kernel_inv_density(
     xr_ref, xi_ref, wi_ref, wf_ref, pr_ref, pi_ref, dr_ref, di_ref,
     sr_ref, si_ref, *, R, prefactor, precision,
@@ -581,18 +704,9 @@ def _fused_kernel_inv_density(
         rho_chunks.append(prefactor * (pre * pre + pim * pim))
     # real-forward of rho over the same two axes: lane stage (real input,
     # half the arithmetic) -> scratch, sublane stage -> out
-    for r in range(R):
-        sre = None
-        sim = None
-        for a, x in enumerate(rho_chunks):
-            w = fphases[r][a]
-            tre = _scale_add(x, w.real, x, 0.0)
-            tim = _scale_add(x, w.imag, x, 0.0)
-            sre = tre if sre is None else sre + tre
-            sim = tim if sim is None else sim + tim
-        sre = sre * inv_sqrt_r
-        sim = sim * inv_sqrt_r
-        yre, yim = _cmatmul(sre, sim, wf_ref[r, 0], wf_ref[r, 1], precision)
+    for r, yre, yim in _real_fwd_lane_stage(
+        rho_chunks, fphases, inv_sqrt_r, wf_ref, precision
+    ):
         sr_ref[:, r * LEAF : (r + 1) * LEAF] = yre
         si_ref[:, r * LEAF : (r + 1) * LEAF] = yim
     chunks = [
@@ -695,18 +809,9 @@ def _fused_kernel_density_fwd(
         pr = pr_ref[0, :, sl]
         pi = pi_ref[0, :, sl]
         chunks.append(prefactor * (pr * pr + pi * pi))
-    for r in range(R):
-        sre = None
-        sim = None
-        for a, x in enumerate(chunks):
-            w = phases[r][a]
-            tre = _scale_add(x, w.real, x, 0.0)
-            tim = _scale_add(x, w.imag, x, 0.0)
-            sre = tre if sre is None else sre + tre
-            sim = tim if sim is None else sim + tim
-        sre = sre * inv_sqrt_r
-        sim = sim * inv_sqrt_r
-        yre, yim = _cmatmul(sre, sim, w_ref[r, 0], w_ref[r, 1], precision)
+    for r, yre, yim in _real_fwd_lane_stage(
+        chunks, phases, inv_sqrt_r, w_ref, precision
+    ):
         sr_ref[:, r * LEAF : (r + 1) * LEAF] = yre
         si_ref[:, r * LEAF : (r + 1) * LEAF] = yim
     chunks = [
@@ -846,18 +951,9 @@ def _fused_kernel_real_fwd(xr_ref, w_ref, or_ref, oi_ref, sr_ref, si_ref, *, R, 
     phases = _radix_phases(R, inverse=False)
     inv_sqrt_r = 1.0 / math.sqrt(R)
     chunks = [xr_ref[0, :, a * LEAF : (a + 1) * LEAF] for a in range(R)]
-    for r in range(R):
-        sre = None
-        sim = None
-        for a, x in enumerate(chunks):
-            w = phases[r][a]
-            tre = _scale_add(x, w.real, x, 0.0)
-            tim = _scale_add(x, w.imag, x, 0.0)
-            sre = tre if sre is None else sre + tre
-            sim = tim if sim is None else sim + tim
-        sre = sre * inv_sqrt_r
-        sim = sim * inv_sqrt_r
-        yre, yim = _cmatmul(sre, sim, w_ref[r, 0], w_ref[r, 1], precision)
+    for r, yre, yim in _real_fwd_lane_stage(
+        chunks, phases, inv_sqrt_r, w_ref, precision
+    ):
         sr_ref[:, r * LEAF : (r + 1) * LEAF] = yre
         si_ref[:, r * LEAF : (r + 1) * LEAF] = yim
     chunks = [
@@ -945,7 +1041,7 @@ def _axis_pass_lane(xr, xi, size: int, inverse: bool):
             jax.ShapeDtypeStruct((rows, size), xr.dtype),
             jax.ShapeDtypeStruct((rows, size), xr.dtype),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=_cparams(1),
         interpret=_interpret(),
     )(xr2, xi2, w)
     return out[0].reshape(lead + (size,)), out[1].reshape(lead + (size,))
@@ -971,7 +1067,7 @@ def _axis_pass_lane_real(xr_or_pair, size: int, inverse: bool):
         (R, 2, LEAF, LEAF), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
     )
     common = dict(
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=_cparams(1),
         interpret=_interpret(),
     )
     if not inverse:
@@ -1032,7 +1128,7 @@ def _axis_pass_fused2(xr, xi, inverse: bool):
             pltpu.VMEM((size, size), xr.dtype),
             pltpu.VMEM((size, size), xr.dtype),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=_cparams(1),
         interpret=_interpret(),
     )(xr3, xi3, w)
     shape = lead + (size, size)
@@ -1092,7 +1188,7 @@ def _axis_pass_sublane_inv_kphase(xr, xi, axis: int, spec, coeff):
             jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
             jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=_cparams(2),
         interpret=_interpret(),
     )(coeff, xr3, xi3, w, spec3)
     return out[0].reshape(xr.shape), out[1].reshape(xr.shape)
@@ -1129,7 +1225,7 @@ def _axis_pass_sublane_roundtrip_pmap(xr, xi, axis: int, pmap):
             jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
             jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=_cparams(2),
         interpret=_interpret(),
     )(xr3, xi3, wf, wi, pmap3)
     return out[0].reshape(xr.shape), out[1].reshape(xr.shape)
@@ -1164,7 +1260,7 @@ def _axis_pass_sublane_inv_pmap(xr, xi, axis: int, pmap):
             jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
             jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=_cparams(2),
         interpret=_interpret(),
     )(xr3, xi3, w, pmap3)
     return out[0].reshape(xr.shape), out[1].reshape(xr.shape)
@@ -1212,7 +1308,7 @@ def _axis_pass_fused2_fwd_xphase(xr, xi, phi, coeff):
             jax.ShapeDtypeStruct((m, size, size), xr.dtype),
             jax.ShapeDtypeStruct((m, size, size), xr.dtype),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=_cparams(1),
         interpret=_interpret(),
     )(coeff, xr3, xi3, w, phi3)
     shape = lead + (size, size)
@@ -1251,7 +1347,7 @@ def _axis_pass_fused2_density(pr, pi, prefactor: float):
             pltpu.VMEM((size, size), pr.dtype),
             pltpu.VMEM((size, size), pr.dtype),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=_cparams(1),
         interpret=_interpret(),
     )(pr.reshape(m, size, size), pi.reshape(m, size, size), w)
     shape = lead + (size, size)
@@ -1288,7 +1384,7 @@ def _axis_pass_fused2_inv_density(xr, xi, prefactor: float):
             pltpu.VMEM((size, size), xr.dtype),
             pltpu.VMEM((size, size), xr.dtype),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=_cparams(1),
         interpret=_interpret(),
     )(xr.reshape(m, size, size), xi.reshape(m, size, size), wi, wf)
     shape = lead + (size, size)
@@ -1339,7 +1435,7 @@ def _axis_pass_fused2_potkick_fwd(fr, fi, pr, pi, coeff):
             jax.ShapeDtypeStruct((m, size, size), fr.dtype),
             jax.ShapeDtypeStruct((m, 8, LEAF), fr.dtype),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=_cparams(1),
         interpret=_interpret(),
     )(
         coeff,
@@ -1354,21 +1450,174 @@ def _axis_pass_fused2_potkick_fwd(fr, fi, pr, pi, coeff):
     return out[0].reshape(shape), out[1].reshape(shape), out[2][:, 0, 0]
 
 
-def fused_step_3d(psik, spec, kcoeff, vcoeff, pmap, mask, prefactor: float):
+def _sep_tables(s0, s12, dtype):
+    s0 = jnp.asarray(s0, dtype).reshape(-1, 1)
+    s12 = jnp.asarray(s12, dtype).reshape(1, -1)
+    return s0, s12
+
+
+def _axis_pass_sublane_inv_kphase_sep(xr, xi, axis: int, s0, s12, coeff):
+    """Inverse sublane pass with the separable exp(i*c*k^2) factor tables
+    computed OUTSIDE the kernel (b x size + b x lanes sin/cos — trivial)
+    instead of a full-grid spec read + in-kernel transcendentals."""
+    size, b1, lanes, width = _sublane_view(xr, axis)
+    R = size // LEAF
+    w = jnp.asarray(_matrices(size, True, xr.dtype.name))
+    xr3 = xr.reshape(b1, size, lanes)
+    xi3 = xi.reshape(b1, size, lanes)
+    c = jnp.broadcast_to(jnp.asarray(coeff, xr.dtype).reshape(-1), (b1,))
+    s0v = jnp.asarray(s0, xr.dtype).reshape(1, size)
+    s12v = jnp.asarray(s12, xr.dtype).reshape(1, lanes)
+    ang0 = c[:, None] * s0v
+    ang12 = c[:, None] * s12v
+    f0c = jnp.cos(ang0).reshape(b1, size, 1)
+    f0s = jnp.sin(ang0).reshape(b1, size, 1)
+    f12c = jnp.cos(ang12).reshape(b1, 1, lanes)
+    f12s = jnp.sin(ang12).reshape(b1, 1, lanes)
+    grid = (b1, lanes // width)
+    spec_x = pl.BlockSpec(
+        (1, size, width), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    spec_f0 = pl.BlockSpec(
+        (1, size, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec_f12 = pl.BlockSpec(
+        (1, 1, width), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    wspec = pl.BlockSpec(
+        (R, 2, LEAF, LEAF), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(
+        _sublane_kernel_inv_kphase_sep, R=R, precision=_precision()
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[spec_x, spec_x, wspec, spec_f0, spec_f0, spec_f12, spec_f12],
+        out_specs=[spec_x, spec_x],
+        out_shape=[
+            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
+            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
+        ],
+        compiler_params=_cparams(2),
+        interpret=_interpret(),
+    )(xr3, xi3, w, f0c, f0s, f12c, f12s)
+    return out[0].reshape(xr.shape), out[1].reshape(xr.shape)
+
+
+def _axis_pass_sublane_roundtrip_poisson_sep(xr, xi, axis: int, s0, s12, coeff: float):
+    """Roundtrip Poisson pass with -coeff/k^2 synthesized in-register from
+    the separable k^2 tables (no full-grid map read)."""
+    size, b1, lanes, width = _sublane_view(xr, axis)
+    R = size // LEAF
+    wf = jnp.asarray(_matrices(size, False, xr.dtype.name))
+    wi = jnp.asarray(_matrices(size, True, xr.dtype.name))
+    xr3 = xr.reshape(b1, size, lanes)
+    xi3 = xi.reshape(b1, size, lanes)
+    s0v, s12v = _sep_tables(s0, s12, xr.dtype)
+    grid = (b1, lanes // width)
+    spec_x = pl.BlockSpec(
+        (1, size, width), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    spec_s0 = pl.BlockSpec((size, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    spec_s12 = pl.BlockSpec((1, width), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(
+        (R, 2, LEAF, LEAF), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(
+        _sublane_kernel_roundtrip_poisson_sep,
+        R=R,
+        coeff=float(coeff),
+        precision=_precision(),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[spec_x, spec_x, wspec, wspec, spec_s0, spec_s12],
+        out_specs=[spec_x, spec_x],
+        out_shape=[
+            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
+            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
+        ],
+        compiler_params=_cparams(2),
+        interpret=_interpret(),
+    )(xr3, xi3, wf, wi, s0v, s12v)
+    return out[0].reshape(xr.shape), out[1].reshape(xr.shape)
+
+
+def _axis_pass_sublane_fwd_reduce_sep(xr, xi, axis: int, s0, s12, cutoff: float):
+    """Forward sublane pass with fused norm/alias partials and the alias
+    mask synthesized in-register from the separable k^2 tables."""
+    size, b1, lanes, width = _sublane_view(xr, axis)
+    R = size // LEAF
+    w = jnp.asarray(_matrices(size, False, xr.dtype.name))
+    xr3 = xr.reshape(b1, size, lanes)
+    xi3 = xi.reshape(b1, size, lanes)
+    s0v, s12v = _sep_tables(s0, s12, xr.dtype)
+    nblk = lanes // width
+    grid = (b1, nblk)
+    spec_x = pl.BlockSpec(
+        (1, size, width), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    spec_s0 = pl.BlockSpec((size, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    spec_s12 = pl.BlockSpec((1, width), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(
+        (R, 2, LEAF, LEAF), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    sspec = pl.BlockSpec(
+        (1, 1, 8, LEAF), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(
+        _sublane_kernel_fwd_reduce_sep,
+        R=R,
+        cutoff=float(cutoff),
+        precision=_precision(),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[spec_x, spec_x, wspec, spec_s0, spec_s12],
+        out_specs=[spec_x, spec_x, sspec, sspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
+            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
+            jax.ShapeDtypeStruct((b1, nblk, 8, LEAF), xr.dtype),
+            jax.ShapeDtypeStruct((b1, nblk, 8, LEAF), xr.dtype),
+        ],
+        compiler_params=_cparams(2),
+        interpret=_interpret(),
+    )(xr3, xi3, w, s0v, s12v)
+    return (
+        out[0].reshape(xr.shape),
+        out[1].reshape(xr.shape),
+        out[2][..., 0, 0],
+        out[3][..., 0, 0],
+    )
+
+
+def fused_step_3d(
+    psik, s0, s12, kcoeff, vcoeff,
+    poisson_coeff: float, alias_cutoff: float, prefactor: float,
+):
     """The full lagged KDK step interior (update :475-661) in FIVE HBM
-    passes over a 3-D grid — rho, rho_k, phi_k and phi never exist in HBM:
+    passes over a 3-D grid — rho, rho_k, phi_k and phi never exist in
+    HBM, and no k-space constant GRID is ever read (the kinetic phase,
+    Poisson map and alias mask are all synthesized from the separable
+    1-D k^2 tables s0 (axis 0) and s12 (flattened k1^2+k2^2), both in
+    ENGINE order):
 
       1. sublane inverse of axis 0 with the merged kinetic half-kick
-         exp(i*kcoeff*k^2) on its read of psik;
+         exp(i*kcoeff*k^2) built from per-axis factor tables;
       2. fused2 inverse of (y, z) materializing psi, with the density
          rho = prefactor*|psi|^2 synthesized in-register and forward-
          transformed over the same two axes;
-      3. one-kernel axis-0 roundtrip F -> (-coeff/k^2) -> F^-1 of rho;
+      3. one-kernel axis-0 roundtrip F -> (-poisson_coeff/k^2) -> F^-1
+         of rho, the map computed in-register;
       4. real inverse of phi_k over (y, z) in-register, potential kick
          exp(i*vcoeff*phi) on psi, fused2 forward — also emits max|phi|
          (the lagged-dt bound);
       5. sublane forward of axis 0 — also emits sum|psik|^2 (unitarity)
-         and sum(mask*|psik|^2) (alias mass) per block.
+         and sum((k^2 > alias_cutoff)*|psik|^2) (alias mass) per block.
 
     Returns (psi, psik_new, norm_sums, alias_sums, phi_max) with the
     reductions shaped like the leading batch axes. The closing half-kick
@@ -1379,11 +1628,15 @@ def fused_step_3d(psik, spec, kcoeff, vcoeff, pmap, mask, prefactor: float):
     xr = jnp.real(psik)
     xi = jnp.imag(psik)
     ax0 = psik.ndim - 3
-    xr, xi = _axis_pass_sublane_inv_kphase(xr, xi, ax0, spec, kcoeff)
+    xr, xi = _axis_pass_sublane_inv_kphase_sep(xr, xi, ax0, s0, s12, kcoeff)
     pr, pi, dr, di = _axis_pass_fused2_inv_density(xr, xi, prefactor)
-    dr, di = _axis_pass_sublane_roundtrip_pmap(dr, di, ax0, pmap)
+    dr, di = _axis_pass_sublane_roundtrip_poisson_sep(
+        dr, di, ax0, s0, s12, poisson_coeff
+    )
     qr, qi, mx = _axis_pass_fused2_potkick_fwd(dr, di, pr, pi, vcoeff)
-    qr, qi, ns, am = _axis_pass_sublane_fwd_reduce(qr, qi, ax0, mask)
+    qr, qi, ns, am = _axis_pass_sublane_fwd_reduce_sep(
+        qr, qi, ax0, s0, s12, alias_cutoff
+    )
     phi_max = jnp.max(mx.reshape(lead + (n0,)), axis=-1)
     ns = jnp.sum(ns.reshape(lead + (-1,)), axis=-1)
     am = jnp.sum(am.reshape(lead + (-1,)), axis=-1)
@@ -1431,7 +1684,7 @@ def _axis_pass_sublane(xr, xi, axis: int, inverse: bool):
             jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
             jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=_cparams(2),
         interpret=_interpret(),
     )(xr3, xi3, w)
     shape = lead + (size,) + trail
@@ -1475,7 +1728,7 @@ def _axis_pass_sublane_fwd_reduce(xr, xi, axis: int, mask):
             jax.ShapeDtypeStruct((b1, nblk, 8, LEAF), xr.dtype),
             jax.ShapeDtypeStruct((b1, nblk, 8, LEAF), xr.dtype),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=_cparams(2),
         interpret=_interpret(),
     )(xr3, xi3, w, mask3)
     return (
@@ -1626,7 +1879,7 @@ def _axis_pass_fused2_real(x_or_pair, inverse: bool, absmax: bool = False):
             pltpu.VMEM((size, size), xr.dtype),
             pltpu.VMEM((size, size), xr.dtype),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=_cparams(1),
         interpret=_interpret(),
     )
     if not inverse:

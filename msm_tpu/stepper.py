@@ -91,6 +91,13 @@ class StepConsts:
     # MXU FFT's first inverse pass (mxu_fft.inverse_engine_real pmap);
     # None outside the fused-phase path.
     poisson_map: "jax.Array | None" = None
+    # Separable k^2 tables in ENGINE order for the 5-pass fused step
+    # (mxu_fft.fused_step_3d): spec_axis0[p0] = k0^2 (size,) and
+    # spec_axis12[j] = k1^2 + k2^2 flattened (size^2,). The kinetic phase,
+    # Poisson map and alias mask are synthesized from these in-register —
+    # no full-grid constant reads. None outside the fused-phase path.
+    spec_axis0: "jax.Array | None" = None
+    spec_axis12: "jax.Array | None" = None
 
 
 class Stepper:
@@ -218,15 +225,26 @@ class Stepper:
         # compiler rejects the payload; smaller grids still pay compile
         # time proportional to the embedded megabytes).
         poisson_map = None
+        spec_axis0 = None
+        spec_axis12 = None
         if self.fuse_phases:
             inv_k2 = np.where(spec > 0.0, 1.0, 0.0) / np.where(spec > 0.0, spec, 1.0)
             poisson_map = jnp.asarray(-self.poisson_coeff * inv_k2, self.rdtype)
+            # Separable k^2 tables (ENGINE order) for the 5-pass step:
+            # all axes share dk, so per-axis k^2 is the 1-D spec grid.
+            s1d = mxu_fft.permute_spec(build_spec_grid(p.dx, 1, p.size), 1)
+            spec_axis0 = jnp.asarray(s1d, self.rdtype)
+            spec_axis12 = jnp.asarray(
+                (s1d[:, None] + s1d[None, :]).reshape(-1), self.rdtype
+            )
         self.consts = StepConsts(
             spec_grid=jnp.asarray(spec, self.rdtype),
             alias_mask=jnp.asarray(mask, self.rdtype),
             tau_dumps=jnp.asarray(tau_dumps, self.tdtype),
             spec_grid_r=jnp.asarray(spec[..., : p.size // 2 + 1], self.rdtype),
             poisson_map=poisson_map,
+            spec_axis0=spec_axis0,
+            spec_axis12=spec_axis12,
         )
 
         # Everything device-side is jitted: on the axon TPU backend eager
@@ -659,11 +677,12 @@ class Stepper:
             dkd = jnp.asarray(p.dk**p.dims, self.rdtype)
             psi, psik, ns, am, phi_max = mxu_fft.fused_step_3d(
                 state.psik,
-                consts.spec_grid,
+                consts.spec_axis0,
+                consts.spec_axis12,
                 state.pending_k + kcoeff,
                 vcoeff,
-                consts.poisson_map,
-                consts.alias_mask,
+                self.poisson_coeff,
+                p.k2_cutoff * self.k2_max,
                 self.density_prefactor,
             )
             phi_max = phi_max.astype(self.tdtype)
@@ -735,11 +754,12 @@ class Stepper:
             dkd = jnp.asarray(p.dk**p.dims, self.rdtype)
             psi, psik, ns, am, phi_max = mxu_fft.fused_step_3d(
                 state.psik,
-                consts.spec_grid,
+                consts.spec_axis0,
+                consts.spec_axis12,
                 state.pending_k + kcoeff,
                 vcoeffs[0] + vcoeffs[1],
-                consts.poisson_map,
-                consts.alias_mask,
+                self.poisson_coeff,
+                p.k2_cutoff * self.k2_max,
                 self.density_prefactor,
             )
             phi_max = phi_max.astype(self.tdtype)
