@@ -493,79 +493,6 @@ def _fused_kernel_fwd_xphase(
         oi_ref[0, r * LEAF : (r + 1) * LEAF, :] = yim
 
 
-def _sublane_kernel_fwd_reduce(
-    xr_ref, xi_ref, w_ref, mask_ref, or_ref, oi_ref, ns_ref, as_ref, *, R, precision
-):
-    """Forward sublane pass that also emits this block's partial
-    sum(|y|^2) and sum(mask * |y|^2): the step's unitarity norm and alias
-    mass (check_alias :1249-1293) ride the final forward pass's write of
-    psik instead of a separate full-grid XLA read."""
-    phases = _radix_phases(R, inverse=False)
-    inv_sqrt_r = 1.0 / math.sqrt(R)
-    chunks = [
-        (xr_ref[0, a * LEAF : (a + 1) * LEAF, :], xi_ref[0, a * LEAF : (a + 1) * LEAF, :])
-        for a in range(R)
-    ]
-    s = _butterfly(chunks, phases, inv_sqrt_r)
-    nsum = None
-    asum = None
-    for r in range(R):
-        yre, yim = _cmatmul_t(w_ref[r, 0], w_ref[r, 1], s[r][0], s[r][1], precision)
-        or_ref[0, r * LEAF : (r + 1) * LEAF, :] = yre
-        oi_ref[0, r * LEAF : (r + 1) * LEAF, :] = yim
-        p2 = yre * yre + yim * yim
-        m = mask_ref[0, r * LEAF : (r + 1) * LEAF, :]
-        ns = jnp.sum(p2)
-        am = jnp.sum(p2 * m)
-        nsum = ns if nsum is None else nsum + ns
-        asum = am if asum is None else asum + am
-    # Scalar partials broadcast over one (8, 128) VMEM tile (Mosaic's
-    # minimum f32 output block); callers read [..., 0, 0].
-    ns_ref[...] = jnp.broadcast_to(nsum, ns_ref.shape).astype(ns_ref.dtype)
-    as_ref[...] = jnp.broadcast_to(asum, as_ref.shape).astype(as_ref.dtype)
-
-
-def _fused_kernel_real_inv_absmax(
-    xr_ref, xi_ref, w_ref, or_ref, mx_ref, sr_ref, si_ref, *, R, precision
-):
-    """`_fused_kernel_real_inv` that also emits this block's max|out|: the
-    lagged-dt potential bound max|phi| (get_timestep :905-915) rides the
-    Poisson inverse's write of phi instead of a separate XLA read."""
-    phases = _radix_phases(R, inverse=True)
-    inv_sqrt_r = 1.0 / math.sqrt(R)
-    u = [
-        _cmatmul_t(
-            w_ref[r, 0],
-            w_ref[r, 1],
-            xr_ref[0, r * LEAF : (r + 1) * LEAF, :],
-            xi_ref[0, r * LEAF : (r + 1) * LEAF, :],
-            precision,
-        )
-        for r in range(R)
-    ]
-    combined = _butterfly(u, phases, inv_sqrt_r)
-    for a in range(R):
-        sr_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][0]
-        si_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][1]
-    u = []
-    for r in range(R):
-        xre = sr_ref[:, r * LEAF : (r + 1) * LEAF]
-        xim = si_ref[:, r * LEAF : (r + 1) * LEAF]
-        u.append(_cmatmul(xre, xim, w_ref[r, 0], w_ref[r, 1], precision))
-    mx = None
-    for a in range(R):
-        acc = None
-        for r in range(R):
-            w = phases[a][r]
-            t = _scale_add(u[r][0], w.real, u[r][1], -w.imag)
-            acc = t if acc is None else acc + t
-        acc = acc * inv_sqrt_r
-        or_ref[0, :, a * LEAF : (a + 1) * LEAF] = acc
-        bm = jnp.max(jnp.abs(acc))
-        mx = bm if mx is None else jnp.maximum(mx, bm)
-    mx_ref[...] = jnp.broadcast_to(mx, mx_ref.shape).astype(mx_ref.dtype)
-
-
 def _sublane_kernel_inv_kphase_sep(
     xr_ref, xi_ref, w_ref, f0c_ref, f0s_ref, f12c_ref, f12s_ref,
     or_ref, oi_ref, *, R, precision,
@@ -630,7 +557,8 @@ def _sublane_kernel_fwd_reduce_sep(
     xr_ref, xi_ref, w_ref, s0_ref, s12_ref, or_ref, oi_ref, ns_ref, as_ref,
     *, R, cutoff, precision,
 ):
-    """`_sublane_kernel_fwd_reduce` with the alias mask synthesized
+    """Forward sublane pass with fused norm/alias partial-sum outputs
+    and the alias mask synthesized
     in-register from the separable k^2 tables: mask = (s0[p0] + s12[j]) >
     cutoff (check_alias :1249-1293) — no full-grid mask read. cutoff is a
     python-float constant (k2_cutoff * k2_max)."""
@@ -1691,85 +1619,6 @@ def _axis_pass_sublane(xr, xi, axis: int, inverse: bool):
     return out[0].reshape(shape), out[1].reshape(shape)
 
 
-def _axis_pass_sublane_fwd_reduce(xr, xi, axis: int, mask):
-    """Forward sublane pass emitting per-block partial sum(|y|^2) and
-    sum(mask*|y|^2) alongside the transform (see kernel)."""
-    size, b1, lanes, width = _sublane_view(xr, axis)
-    R = size // LEAF
-    w = jnp.asarray(_matrices(size, False, xr.dtype.name))
-    xr3 = xr.reshape(b1, size, lanes)
-    xi3 = xi.reshape(b1, size, lanes)
-    mask3 = jnp.asarray(mask, xr.dtype).reshape(1, size, lanes)
-    nblk = lanes // width
-    grid = (b1, nblk)
-    spec_x = pl.BlockSpec(
-        (1, size, width), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
-    )
-    spec_m = pl.BlockSpec(
-        (1, size, width), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM
-    )
-    wspec = pl.BlockSpec(
-        (R, 2, LEAF, LEAF), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    sspec = pl.BlockSpec(
-        (1, 1, 8, LEAF), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
-    )
-    kern = functools.partial(
-        _sublane_kernel_fwd_reduce, R=R, precision=_precision()
-    )
-    out = pl.pallas_call(
-        kern,
-        grid=grid,
-        in_specs=[spec_x, spec_x, wspec, spec_m],
-        out_specs=[spec_x, spec_x, sspec, sspec],
-        out_shape=[
-            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
-            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
-            jax.ShapeDtypeStruct((b1, nblk, 8, LEAF), xr.dtype),
-            jax.ShapeDtypeStruct((b1, nblk, 8, LEAF), xr.dtype),
-        ],
-        compiler_params=_cparams(2),
-        interpret=_interpret(),
-    )(xr3, xi3, w, mask3)
-    return (
-        out[0].reshape(xr.shape),
-        out[1].reshape(xr.shape),
-        out[2][..., 0, 0],
-        out[3][..., 0, 0],
-    )
-
-
-def forward_engine_reduce(psi: jnp.ndarray, dims: int, *, xphase=None, mask):
-    """forward_engine plus fused spatial reductions sum|psik|^2 and
-    sum(mask*|psik|^2) (the step's unitarity norm and alias mass,
-    check_alias :1249-1293) — no separate full-grid read of psik.
-
-    3-D fused geometry only (the final pass is the axis-0 sublane pass);
-    falls back to forward_engine + XLA reductions otherwise. Returns
-    (psik_engine, norm_sums, alias_sums) with the sums shaped like the
-    leading batch axes.
-    """
-    lead = psi.shape[: psi.ndim - dims]
-    if _fuse2_ok(psi.shape, dims) and dims == 3:
-        xr = jnp.real(psi)
-        xi = jnp.imag(psi)
-        if xphase is not None:
-            xr, xi = _axis_pass_fused2_fwd_xphase(xr, xi, *xphase)
-        else:
-            xr, xi = _axis_pass_fused2(xr, xi, inverse=False)
-        xr, xi, ns, am = _axis_pass_sublane_fwd_reduce(
-            xr, xi, psi.ndim - 3, mask
-        )
-        ns = jnp.sum(ns.reshape(lead + (-1,)), axis=-1)
-        am = jnp.sum(am.reshape(lead + (-1,)), axis=-1)
-        return jax.lax.complex(xr, xi), ns, am
-    psik = forward_engine(psi, dims, xphase=xphase)
-    p2 = jnp.real(psik) ** 2 + jnp.imag(psik) ** 2
-    axes = tuple(range(psik.ndim - dims, psik.ndim))
-    m = jnp.asarray(mask, p2.dtype)
-    return psik, jnp.sum(p2, axis=axes), jnp.sum(p2 * m, axis=axes)
-
-
 # ---------------------------------------------------------------------------
 # Public transforms
 # ---------------------------------------------------------------------------
@@ -1853,12 +1702,8 @@ def inverse_engine(
     return jax.lax.complex(xr, xi)
 
 
-def _axis_pass_fused2_real(x_or_pair, inverse: bool, absmax: bool = False):
-    """Fused last-two-axes pass, real input (forward) / real output (inverse).
-
-    absmax=True (inverse only): also emit per-block partial max|out| — the
-    lagged-dt potential bound max|phi| rides phi's write. Returns
-    (out, partials (m, 1))."""
+def _axis_pass_fused2_real(x_or_pair, inverse: bool):
+    """Fused last-two-axes pass, real input (forward) / real output (inverse)."""
     if inverse:
         xr, xi = x_or_pair
     else:
@@ -1896,24 +1741,6 @@ def _axis_pass_fused2_real(x_or_pair, inverse: bool, absmax: bool = False):
         )(xr.reshape(m, size, size), w)
         shape = lead + (size, size)
         return out[0].reshape(shape), out[1].reshape(shape)
-    if absmax:
-        sspec = pl.BlockSpec(
-            (1, 8, LEAF), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        )
-        kern = functools.partial(
-            _fused_kernel_real_inv_absmax, R=R, precision=_precision()
-        )
-        out, mx = pl.pallas_call(
-            kern,
-            in_specs=[spec, spec, wspec],
-            out_specs=[spec, sspec],
-            out_shape=[
-                jax.ShapeDtypeStruct((m, size, size), xr.dtype),
-                jax.ShapeDtypeStruct((m, 8, LEAF), xr.dtype),
-            ],
-            **common,
-        )(xr.reshape(m, size, size), xi.reshape(m, size, size), w)
-        return out.reshape(lead + (size, size)), mx[:, 0, 0]
     kern = functools.partial(_fused_kernel_real_inv, R=R, precision=_precision())
     out = pl.pallas_call(
         kern,
@@ -1956,9 +1783,7 @@ def forward_engine_density(
     return forward_engine_real(rho, dims)
 
 
-def poisson_solve(
-    psi: jnp.ndarray, dims: int, prefactor: float, pmap, *, with_absmax=False
-):
+def poisson_solve(psi: jnp.ndarray, dims: int, prefactor: float, pmap):
     """The whole spectral Poisson solve (calculate_potential :1031-1110) in
     THREE HBM passes for 3-D grids:
 
@@ -1970,28 +1795,15 @@ def poisson_solve(
 
     pmap is the full k-space map in ENGINE order. Falls back to the
     two-call path (4 passes) off the fused geometry.
-
-    with_absmax=True: also return per-stream max|phi| (the lagged-dt
-    potential bound, get_timestep :905-915) emitted by the inverse kernel
-    — no separate full-grid read of phi. Returns (phi, absmax) shaped
-    like the leading batch axes.
     """
-    lead = psi.shape[: psi.ndim - dims]
     if _fuse2_ok(psi.shape, dims) and dims == 3:
         pr = jnp.real(psi)
         pi = jnp.imag(psi)
         xr, xi = _axis_pass_fused2_density(pr, pi, prefactor)
         xr, xi = _axis_pass_sublane_roundtrip_pmap(xr, xi, psi.ndim - 3, pmap)
-        if with_absmax:
-            phi, mx = _axis_pass_fused2_real((xr, xi), inverse=True, absmax=True)
-            return phi, jnp.max(mx.reshape(lead + (-1,)), axis=-1)
         return _axis_pass_fused2_real((xr, xi), inverse=True)
     rho_k = forward_engine_density(psi, dims, prefactor)
-    phi = inverse_engine_real(rho_k, dims, pmap=pmap)
-    if with_absmax:
-        axes = tuple(range(phi.ndim - dims, phi.ndim))
-        return phi, jnp.max(jnp.abs(phi), axis=axes)
-    return phi
+    return inverse_engine_real(rho_k, dims, pmap=pmap)
 
 
 def inverse_engine_real(

@@ -541,36 +541,15 @@ class Stepper:
         return jnp.real(self._inv(phi_k))
 
     def _potential_with_max(self, psi, consts: StepConsts):
-        """(phi, per-stream max|phi|): on the fused-phase path the max is
-        emitted by the Poisson inverse kernel itself (no separate full-grid
-        read of phi for the lagged-dt bound, get_timestep :905-915)."""
-        if self.fuse_phases:
-            from .ops import mxu_fft
-
-            phi, mx = mxu_fft.poisson_solve(
-                psi,
-                self.params.dims,
-                self.density_prefactor,
-                consts.poisson_map,
-                with_absmax=True,
-            )
-            return phi, mx.astype(self.tdtype)
+        """(phi, per-stream max|phi|) for the non-fused step paths (the
+        fused-phase path gets max|phi| from fused_step_3d's kernels)."""
         phi = self._potential(psi, consts)
         return phi, self._spatial_max(jnp.abs(phi)).astype(self.tdtype)
 
     def _fwd_with_kick_reduce(self, psi, phi, coeff, consts: StepConsts):
-        """(psik, norm, alias_mass) with the two spatial reductions fused
-        into the forward transform's final pass on the fused-phase path
-        (check_alias :1249-1293; check_norm grid.rs:35-64)."""
-        p = self.params
-        dkd = jnp.asarray(p.dk**p.dims, self.rdtype)
-        if self.fuse_phases:
-            from .ops import mxu_fft
-
-            psik, ns, am = mxu_fft.forward_engine_reduce(
-                psi, p.dims, xphase=(phi, coeff), mask=consts.alias_mask
-            )
-            return psik, ns * dkd, am * dkd
+        """(psik, norm, alias_mass) for the non-fused step paths (the
+        fused-phase path gets the reductions from fused_step_3d's kernels;
+        check_alias :1249-1293, check_norm grid.rs:35-64)."""
         psik = self._fwd_with_kick(psi, phi, coeff)
         nrm = self._norm_measure(psik) if self.debug_checks else None
         return psik, nrm, self._alias_mass(psik, consts)

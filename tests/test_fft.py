@@ -225,42 +225,50 @@ def test_mxu_bf16x3_precision_mode(rng):
         m._PRECISION = saved
 
 
-def test_mxu_fused_reductions(rng):
-    """forward_engine_reduce's in-kernel sums and poisson_solve's in-kernel
-    max|phi| equal the separate XLA reductions."""
-    psi = (
-        rng.standard_normal((2, 128, 128, 128))
-        + 1j * rng.standard_normal((2, 128, 128, 128))
+def test_fused_step_3d_matches_unfused_chain(rng):
+    """fused_step_3d's five passes — including the in-kernel reductions
+    (sum|psik|^2, alias mass above the cutoff, max|phi|) and the k-space
+    constants synthesized from the separable 1-D tables — reproduce the
+    explicit unfused chain of engine transforms + XLA reductions."""
+    n = 128
+    psik = (
+        rng.standard_normal((2, n, n, n)) + 1j * rng.standard_normal((2, n, n, n))
     ).astype(np.complex64)
-    mask = (rng.random((128, 128, 128)) > 0.7).astype(np.float32)
-    psik, ns, am = mxu_fft.forward_engine_reduce(jnp.asarray(psi), 3, mask=mask)
-    ref_k = mxu_fft.forward_engine(jnp.asarray(psi), 3)
-    np.testing.assert_allclose(np.asarray(psik), np.asarray(ref_k), atol=1e-5)
-    p2 = np.abs(np.asarray(ref_k)) ** 2
-    np.testing.assert_allclose(
-        np.asarray(ns), p2.sum(axis=(1, 2, 3)), rtol=1e-5
+    k1d = np.square(2.0 * np.pi * np.fft.fftfreq(n, d=1.0 / n)).astype(np.float32)
+    s1d = np.take(k1d, mxu_fft.engine_perm(n))
+    s0 = s1d
+    s12 = (s1d[:, None] + s1d[None, :]).reshape(-1)
+    spec_e = (
+        s1d[:, None, None] + s1d[None, :, None] + s1d[None, None, :]
     )
-    np.testing.assert_allclose(
-        np.asarray(am), (p2 * mask).sum(axis=(1, 2, 3)), rtol=1e-5
+    kcoeff = np.asarray([3e-4, -1e-4], np.float32)
+    vcoeff = np.asarray([-2e-3, 1e-3], np.float32)
+    pois, cut, pref = 0.7, float(0.5 * spec_e.max()), 2.0
+
+    psi, psik2, ns, am, mx = mxu_fft.fused_step_3d(
+        jnp.asarray(psik), jnp.asarray(s0), jnp.asarray(s12),
+        jnp.asarray(kcoeff), jnp.asarray(vcoeff), pois, cut, pref,
     )
 
-    spec_e = mxu_fft.permute_spec(
-        sum(
-            np.square(2.0 * np.pi * np.fft.fftfreq(128, d=1.0 / 128))[sh]
-            for sh in (
-                (slice(None), None, None),
-                (None, slice(None), None),
-                (None, None, slice(None)),
-            )
-        ),
-        3,
+    # unfused reference chain
+    ref_psi = mxu_fft.inverse_engine(
+        jnp.asarray(psik) * jnp.exp(1j * kcoeff[:, None, None, None] * spec_e), 3
     )
-    pmap = np.where(spec_e > 0, -1.0 / np.where(spec_e > 0, spec_e, 1.0), 0.0)
-    phi, mx = mxu_fft.poisson_solve(
-        jnp.asarray(psi), 3, 2.0, jnp.asarray(pmap), with_absmax=True
+    pmap = np.where(spec_e > 0, -pois / np.where(spec_e > 0, spec_e, 1.0), 0.0)
+    rho_k = mxu_fft.forward_engine_density(ref_psi, 3, pref)
+    ref_phi = mxu_fft.inverse_engine_real(rho_k, 3, pmap=jnp.asarray(pmap))
+    ref_psik2 = mxu_fft.forward_engine(
+        ref_psi * jnp.exp(1j * vcoeff[:, None, None, None] * ref_phi), 3
     )
-    ref_phi = mxu_fft.poisson_solve(jnp.asarray(psi), 3, 2.0, jnp.asarray(pmap))
-    np.testing.assert_allclose(np.asarray(phi), np.asarray(ref_phi), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(psi), np.asarray(ref_psi), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(psik2), np.asarray(ref_psik2), atol=2e-4)
+    p2 = np.abs(np.asarray(ref_psik2)) ** 2
+    np.testing.assert_allclose(np.asarray(ns), p2.sum(axis=(1, 2, 3)), rtol=1e-4)
     np.testing.assert_allclose(
-        np.asarray(mx), np.abs(np.asarray(ref_phi)).max(axis=(1, 2, 3)), rtol=1e-6
+        np.asarray(am),
+        (p2 * (spec_e > cut)).sum(axis=(1, 2, 3)),
+        rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mx), np.abs(np.asarray(ref_phi)).max(axis=(1, 2, 3)), rtol=1e-5
     )
