@@ -63,12 +63,23 @@ _SUBLANE_LANES = 512
 # lower Precision.HIGH): each f32 operand splits into hi+lo bfloat16 and
 # the dot is wh@xh + wh@xl + wl@xh — 2x the MXU throughput of HIGHEST for
 # a ~2^-17 relative floor (vs f32's 2^-24); dropped term lo*lo ~ 2^-18.
-# MSM_MXU_PRECISION=bf16x3|high|highest overrides at import time.
+#
+# The DEFAULT is 'mixed': psi-carrying transforms at HIGHEST (they set the
+# unitarity/norm budget), the Poisson chain (rho forward, -coeff/k^2
+# roundtrip, phi inverse) at bf16x3. This is exactly as accurate where it
+# matters: phi only ever enters as the phase exp(i*v*phi), which is
+# UNITARY for any real phi, so a ~1e-5 relative phi error cannot touch
+# norm conservation — it is a ~1e-5 relative force perturbation, far
+# below the O(dt^2) splitting error (and rho is |psi|^2 of an f32 field
+# to begin with). Measured: same 1.1e-4 unitarity drift as all-HIGHEST
+# over 200 steps of the 128^3 tophat.
+# MSM_MXU_PRECISION=mixed|bf16x3|high|highest overrides at import time.
 _PRECISION = {
+    "mixed": "mixed",
     "bf16x3": "bf16x3",
     "high": jax.lax.Precision.HIGH,
     "highest": jax.lax.Precision.HIGHEST,
-}[__import__("os").environ.get("MSM_MXU_PRECISION", "highest")]
+}[__import__("os").environ.get("MSM_MXU_PRECISION", "mixed")]
 
 # Fuse the last TWO axes into one kernel pass ((1, N, N) blocks with a VMEM
 # scratch intermediate): a 3-D transform becomes 2 HBM passes instead of 3
@@ -216,8 +227,12 @@ _KARATSUBA = __import__("os").environ.get("MSM_MXU_KARATSUBA", "1") != "0"
 
 
 def _dot_fn(precision, dims, dtype):
-    if precision == "bf16x3":
+    # The bf16 split only makes sense for f32 operands; f64 (the CPU/x64
+    # test path) always gets an exact dot.
+    if precision == "bf16x3" and jnp.dtype(dtype) == jnp.float32:
         return functools.partial(_dot3, dims=dims, out_dtype=dtype)
+    if precision == "bf16x3":
+        precision = jax.lax.Precision.HIGHEST
     return functools.partial(
         jax.lax.dot_general,
         dimension_numbers=dims,
@@ -588,7 +603,7 @@ def _sublane_kernel_fwd_reduce_sep(
 
 def _fused_kernel_inv_density(
     xr_ref, xi_ref, wi_ref, wf_ref, pr_ref, pi_ref, dr_ref, di_ref,
-    sr_ref, si_ref, *, R, prefactor, precision,
+    sr_ref, si_ref, *, R, prefactor, precision, pprecision,
 ):
     """Fused2 inverse producing psi PLUS the density forward of the same
     plane in one HBM pass: psi is materialized (written out) and
@@ -633,7 +648,7 @@ def _fused_kernel_inv_density(
     # real-forward of rho over the same two axes: lane stage (real input,
     # half the arithmetic) -> scratch, sublane stage -> out
     for r, yre, yim in _real_fwd_lane_stage(
-        rho_chunks, fphases, inv_sqrt_r, wf_ref, precision
+        rho_chunks, fphases, inv_sqrt_r, wf_ref, pprecision
     ):
         sr_ref[:, r * LEAF : (r + 1) * LEAF] = yre
         si_ref[:, r * LEAF : (r + 1) * LEAF] = yim
@@ -643,14 +658,14 @@ def _fused_kernel_inv_density(
     ]
     s = _butterfly(chunks, fphases, inv_sqrt_r)
     for r in range(R):
-        yre, yim = _cmatmul_t(wf_ref[r, 0], wf_ref[r, 1], s[r][0], s[r][1], precision)
+        yre, yim = _cmatmul_t(wf_ref[r, 0], wf_ref[r, 1], s[r][0], s[r][1], pprecision)
         dr_ref[0, r * LEAF : (r + 1) * LEAF, :] = yre
         di_ref[0, r * LEAF : (r + 1) * LEAF, :] = yim
 
 
 def _fused_kernel_potkick_fwd(
     coeff_ref, fr_ref, fi_ref, pr_ref, pi_ref, wi_ref, wf_ref,
-    or_ref, oi_ref, mx_ref, sr_ref, si_ref, *, R, n0, precision,
+    or_ref, oi_ref, mx_ref, sr_ref, si_ref, *, R, n0, precision, pprecision,
 ):
     """Real inverse of phi_k + potential kick + fused2 forward of psi in
     ONE HBM pass: phi = Re F2^-1[phi_k] is computed in-register, psi is
@@ -668,7 +683,7 @@ def _fused_kernel_potkick_fwd(
             wi_ref[r, 1],
             fr_ref[0, r * LEAF : (r + 1) * LEAF, :],
             fi_ref[0, r * LEAF : (r + 1) * LEAF, :],
-            precision,
+            pprecision,
         )
         for r in range(R)
     ]
@@ -682,7 +697,7 @@ def _fused_kernel_potkick_fwd(
             si_ref[:, r * LEAF : (r + 1) * LEAF],
             wi_ref[r, 0],
             wi_ref[r, 1],
-            precision,
+            pprecision,
         )
         for r in range(R)
     ]
@@ -938,6 +953,18 @@ def _fused_kernel_real_inv(
 
 
 def _precision():
+    """Precision for psi-carrying transforms (sets the unitarity budget)."""
+    if _PRECISION == "mixed":
+        return jax.lax.Precision.HIGHEST
+    return _PRECISION
+
+
+def _precision_poisson():
+    """Precision for the Poisson chain (rho fwd, roundtrip, phi inverse):
+    phi enters only as a unitary phase, so bf16x3 here is free accuracy-
+    wise (module docstring at _PRECISION)."""
+    if _PRECISION == "mixed":
+        return "bf16x3"
     return _PRECISION
 
 
@@ -1000,7 +1027,7 @@ def _axis_pass_lane_real(xr_or_pair, size: int, inverse: bool):
     )
     if not inverse:
         kern = functools.partial(
-            _lane_kernel_real_fwd, R=R, precision=_precision()
+            _lane_kernel_real_fwd, R=R, precision=_precision_poisson()
         )
         out = pl.pallas_call(
             kern,
@@ -1014,7 +1041,7 @@ def _axis_pass_lane_real(xr_or_pair, size: int, inverse: bool):
             **common,
         )(xr.reshape(rows, size), w)
         return out[0].reshape(lead + (size,)), out[1].reshape(lead + (size,))
-    kern = functools.partial(_lane_kernel_real_inv, R=R, precision=_precision())
+    kern = functools.partial(_lane_kernel_real_inv, R=R, precision=_precision_poisson())
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -1142,7 +1169,7 @@ def _axis_pass_sublane_roundtrip_pmap(xr, xi, axis: int, pmap):
         (R, 2, LEAF, LEAF), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM
     )
     kern = functools.partial(
-        _sublane_kernel_roundtrip_pmap, R=R, precision=_precision()
+        _sublane_kernel_roundtrip_pmap, R=R, precision=_precision_poisson()
     )
     out = pl.pallas_call(
         kern,
@@ -1178,7 +1205,7 @@ def _axis_pass_sublane_inv_pmap(xr, xi, axis: int, pmap):
     wspec = pl.BlockSpec(
         (R, 2, LEAF, LEAF), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    kern = functools.partial(_sublane_kernel_inv_pmap, R=R, precision=_precision())
+    kern = functools.partial(_sublane_kernel_inv_pmap, R=R, precision=_precision_poisson())
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -1260,7 +1287,7 @@ def _axis_pass_fused2_density(pr, pi, prefactor: float):
         _fused_kernel_density_fwd,
         R=R,
         prefactor=float(prefactor),
-        precision=_precision(),
+        precision=_precision_poisson(),
     )
     out = pl.pallas_call(
         kern,
@@ -1301,6 +1328,7 @@ def _axis_pass_fused2_inv_density(xr, xi, prefactor: float):
         R=R,
         prefactor=float(prefactor),
         precision=_precision(),
+        pprecision=_precision_poisson(),
     )
     out = pl.pallas_call(
         kern,
@@ -1344,7 +1372,11 @@ def _axis_pass_fused2_potkick_fwd(fr, fi, pr, pi, coeff):
         (1, 8, LEAF), lambda i, *_refs: (i, 0, 0), memory_space=pltpu.VMEM
     )
     kern = functools.partial(
-        _fused_kernel_potkick_fwd, R=R, n0=n0, precision=_precision()
+        _fused_kernel_potkick_fwd,
+        R=R,
+        n0=n0,
+        precision=_precision(),
+        pprecision=_precision_poisson(),
     )
     out = pl.pallas_call(
         kern,
@@ -1456,7 +1488,7 @@ def _axis_pass_sublane_roundtrip_poisson_sep(xr, xi, axis: int, s0, s12, coeff: 
         _sublane_kernel_roundtrip_poisson_sep,
         R=R,
         coeff=float(coeff),
-        precision=_precision(),
+        precision=_precision_poisson(),
     )
     out = pl.pallas_call(
         kern,
@@ -1728,7 +1760,7 @@ def _axis_pass_fused2_real(x_or_pair, inverse: bool):
         interpret=_interpret(),
     )
     if not inverse:
-        kern = functools.partial(_fused_kernel_real_fwd, R=R, precision=_precision())
+        kern = functools.partial(_fused_kernel_real_fwd, R=R, precision=_precision_poisson())
         out = pl.pallas_call(
             kern,
             in_specs=[spec, wspec],
@@ -1741,7 +1773,7 @@ def _axis_pass_fused2_real(x_or_pair, inverse: bool):
         )(xr.reshape(m, size, size), w)
         shape = lead + (size, size)
         return out[0].reshape(shape), out[1].reshape(shape)
-    kern = functools.partial(_fused_kernel_real_inv, R=R, precision=_precision())
+    kern = functools.partial(_fused_kernel_real_inv, R=R, precision=_precision_poisson())
     out = pl.pallas_call(
         kern,
         in_specs=[spec, spec, wspec],

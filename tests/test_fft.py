@@ -269,6 +269,8 @@ def test_fused_step_3d_matches_unfused_chain(rng):
         (p2 * (spec_e > cut)).sum(axis=(1, 2, 3)),
         rtol=1e-3,
     )
+    # phi runs at bf16x3 under the default mixed precision (its error is a
+    # unitary-phase perturbation, ops/mxu_fft.py _PRECISION docstring)
     np.testing.assert_allclose(
-        np.asarray(mx), np.abs(np.asarray(ref_phi)).max(axis=(1, 2, 3)), rtol=1e-5
+        np.asarray(mx), np.abs(np.asarray(ref_phi)).max(axis=(1, 2, 3)), rtol=5e-4
     )
