@@ -118,6 +118,33 @@ def storage_backend_for(
     return ObjectBackend.from_config(rs, root, writer=writer)
 
 
+def _interval_block_k(params, n_batch: int, dtype, stepper) -> int:
+    """Dump intervals advanced+fetched per dispatch (stepper.evolve_intervals).
+
+    Block size is compute-neutral (the scan body IS the per-interval
+    program) but removes the per-interval host round trip that dominates
+    small-grid runs on remote/tunneled devices. Only the plain
+    single-process Stepper blocks >1: MeshStepper/multihost dump paths do
+    per-process slice fetches that are defined on the live state.
+    Bounded by the stacked dump payload (k × batch × grid psi planes,
+    ×1.5 with output_potential): MSM_INTERVAL_BLOCK overrides directly,
+    MSM_INTERVAL_BLOCK_MB sets the budget (default 512 MB, cap 32).
+    """
+    max_k = max(1, int(params.num_data_dumps))
+    if type(stepper) is not Stepper or jax.process_count() > 1:
+        return 1
+    env = os.environ.get("MSM_INTERVAL_BLOCK")
+    if env:
+        return max(1, min(int(env), max_k))
+    per_interval = (
+        n_batch * int(np.prod(params.shape)) * jnp.dtype(dtype).itemsize
+    )
+    if params.output_potential:
+        per_interval += per_interval // 2
+    budget = float(os.environ.get("MSM_INTERVAL_BLOCK_MB", "512")) * 2**20
+    return max(1, min(int(budget // max(per_interval, 1)), 32, max_k))
+
+
 def _state_scalars(state: SimState, i: Optional[int] = None) -> dict:
     def pick(x):
         x = np.asarray(x)
@@ -439,48 +466,75 @@ def run_single(
                 run.dump_field(np.asarray(stepper.potential(state.psi)), 0, "potential")
             run.write_manifest(_state_scalars(state))
 
+        kblock = _interval_block_k(params, 1, dtype, stepper)
+        want_pot = bool(params.output_potential)
+
         def _advance(s):
-            # snap is just_dumped-gated, so it is a no-op on alias-aborted
-            # mid-interval states and composing it here is safe.
-            return stepper.snap_after_dump(stepper.evolve_to_next_dump(s))
+            # One dispatch advances kblock dump intervals (lax.scan) and
+            # returns their stacked dump payloads — on remote/tunneled
+            # backends the per-dump host round trip is paid once per block.
+            # snap (inside the scan body) is just_dumped-gated, so it is a
+            # no-op on alias-aborted mid-interval states.
+            return stepper.evolve_intervals(s, kblock, with_potential=want_pot)
 
         inflight = _advance(state) if stepper.not_finished(state) else None
+        aborted = False
         while inflight is not None:
-            state = inflight
-            # Dispatch interval i+1 BEFORE any host-blocking fetch of
-            # interval i's results: the device executes in order, so the
-            # psi transfer + npy write below overlap with i+1's compute
-            # (and, on the tunneled backend, hide its per-dispatch cost).
-            # A wrong speculation (final interval or alias abort) costs
-            # one no-op dispatch — the evolve while_loop's condition
-            # fails immediately on finished/aliased states.
+            state, outs = inflight
+            # Dispatch block i+1 BEFORE any host-blocking fetch of block
+            # i's results: the device executes in order, so the psi
+            # transfers + npy writes below overlap with i+1's compute.
+            # A wrong speculation (final block or alias abort) costs one
+            # no-op dispatch — the evolve while_loop's condition fails
+            # immediately on finished/aliased states and snap no-ops.
             speculative = _advance(state)
-            if bool(state.aliased):
-                run.write_manifest(_state_scalars(state))
-                _report_aliasing(params, float(np.asarray(state.alias_mass)), strict_alias)
-                break
-            if debug_checks:
-                err = float(np.asarray(state.max_norm_err))
-                if not err < 1e-3:
-                    raise FloatingPointError(
-                        f"in-step unitarity violation in {params.sim_name}: "
-                        f"max |norm/norm0 - 1| = {err:.3g}"
+            # full-stack host fetches (never index a device array eagerly:
+            # on the tunneled backend every eager op is a remote compile)
+            host = {name: np.asarray(v) for name, v in outs.items()}
+            jd, al = host["just_dumped"], host["aliased"]
+            re_np, im_np = host["psi_re"], host["psi_im"]
+            cdt = np.complex64 if re_np.dtype == np.float32 else np.complex128
+            for j in range(kblock):
+                scalars = {
+                    "current_dumps": int(host["current_dumps"][j]),
+                    "time": float(host["time"][j]),
+                    "tau": float(host["tau"][j]),
+                    "a": float(host["a"][j]),
+                    "n_steps": int(host["n_steps"][j]),
+                    "aliased": bool(al[j]),
+                }
+                if al[j]:
+                    run.write_manifest(scalars)
+                    _report_aliasing(
+                        params, float(host["alias_mass"][j]), strict_alias
                     )
-            idx = int(state.current_dumps)
-            run.dump_field(device_get_complex(state.psi), idx)
-            if params.output_potential:
-                run.dump_field(
-                    np.asarray(stepper.potential(state.psi)), idx, "potential"
-                )
-            scalars = _state_scalars(state)
-            scalars["wall_time_ms"] = (_time.monotonic() - t_start) * 1e3
-            run.write_manifest(scalars)
-            if verbose:
-                print(
-                    f"({params.sim_name}) dump {idx}/{params.num_data_dumps} "
-                    f"t = {scalars['time']:.6g}"
-                )
-            inflight = speculative if stepper.not_finished(state) else None
+                    aborted = True
+                    break
+                if not jd[j]:
+                    continue  # post-finish no-op interval
+                if debug_checks:
+                    err = float(np.asarray(outs["max_norm_err"][j]))
+                    if not err < 1e-3:
+                        raise FloatingPointError(
+                            f"in-step unitarity violation in {params.sim_name}: "
+                            f"max |norm/norm0 - 1| = {err:.3g}"
+                        )
+                idx = scalars["current_dumps"]
+                run.dump_field((re_np[j] + 1j * im_np[j]).astype(cdt), idx)
+                if want_pot:
+                    run.dump_field(host["pot"][j], idx, "potential")
+                scalars["wall_time_ms"] = (_time.monotonic() - t_start) * 1e3
+                run.write_manifest(scalars)
+                if verbose:
+                    print(
+                        f"({params.sim_name}) dump {idx}/{params.num_data_dumps} "
+                        f"t = {scalars['time']:.6g}"
+                    )
+            inflight = (
+                speculative
+                if not aborted and stepper.not_finished(state)
+                else None
+            )
     finally:
         if own_writer:
             writer.close()
@@ -669,12 +723,103 @@ def run_config(
 
         total_steps = 0
 
+        # Interval blocking (k dump intervals per dispatch, see
+        # stepper.evolve_intervals): single-process plain-Stepper runs
+        # without an online combiner — the dominant production shape —
+        # fetch k dumps per host round trip. Other layouts (mesh-sharded,
+        # multihost, online synthesis over live device state) keep the
+        # one-interval loop below.
+        kblock = (
+            _interval_block_k(mft_params, int(state.psi.shape[0]), dtype, stepper)
+            if combiner is None
+            else 1
+        )
+        if kblock > 1:
+            want_pot = bool(toml.output_potential)
+
+            def _advance_blocks(s):
+                return stepper.evolve_intervals(s, kblock, with_potential=want_pot)
+
+            inflight = _advance_blocks(state) if stepper.not_finished(state) else None
+            while inflight is not None:
+                state, outs = inflight
+                # dispatch block i+1 before block i's host fetches (same
+                # speculation-safety argument as the one-interval loop)
+                speculative = _advance_blocks(state)
+                host = {name: np.asarray(v) for name, v in outs.items()}
+                re_np, im_np = host["psi_re"], host["psi_im"]
+                cdt = np.complex64 if re_np.dtype == np.float32 else np.complex128
+                for j in range(kblock):
+                    jd = host["just_dumped"][j]
+                    al = host["aliased"][j]
+                    if not (jd[:n].any() or al[:n].any()):
+                        continue  # post-finish no-op interval
+                    total_steps = max(total_steps, int(host["n_steps"][j].max()))
+                    dumps_j = host["current_dumps"][j]
+
+                    def row_scalars(i, j=j, dumps_j=dumps_j, al=al):
+                        return {
+                            "current_dumps": int(dumps_j[i]),
+                            "time": float(host["time"][j][i]),
+                            "tau": float(host["tau"][j][i]),
+                            "a": float(host["a"][j][i]),
+                            "n_steps": int(host["n_steps"][j][i]),
+                            "aliased": bool(al[i]),
+                        }
+
+                    for i in range(n):
+                        r = runs[i]
+                        if al[i]:
+                            if not reported_alias[i]:
+                                _report_aliasing(
+                                    all_params[i],
+                                    float(host["alias_mass"][j][i]),
+                                    strict_alias,
+                                )
+                                reported_alias[i] = True
+                                r.write_manifest(row_scalars(i))
+                            continue
+                        if not jd[i]:
+                            continue
+                        psi_ji = (re_np[j, i] + 1j * im_np[j, i]).astype(cdt)
+                        if debug_checks:
+                            _debug_validate(
+                                psi_ji, all_params[i], f"{r.params.sim_name} dump"
+                            )
+                            err = float(host["max_norm_err"][j][i])
+                            if not err < 1e-3:
+                                raise FloatingPointError(
+                                    f"in-step unitarity violation in "
+                                    f"{r.params.sim_name}: max |norm/norm0 - 1| "
+                                    f"= {err:.3g} during the last dump interval"
+                                )
+                        r.dump_field(psi_ji, int(dumps_j[i]))
+                        scalars = row_scalars(i)
+                        scalars["wall_time_ms"] = (_time.monotonic() - t_start) * 1e3
+                        r.write_manifest(scalars)
+                        if want_pot:
+                            r.dump_field(
+                                host["pot"][j, i].astype(cdt),
+                                int(dumps_j[i]),
+                                "potential",
+                            )
+                    done = int(dumps_j[:n].min())
+                    if toml.cosmology is not None:
+                        progress.update(
+                            done, redshift=1.0 / float(host["a"][j][:n].min()) - 1.0
+                        )
+                    else:
+                        progress.update(done, sim_time=float(host["time"][j][:n].min()))
+                inflight = speculative if stepper.not_finished(state) else None
+
         def _advance_batched(s):
             raw = stepper.evolve_to_next_dump(s, batched=True)
             return raw, stepper.snap_after_dump(raw)
 
         inflight = (
-            _advance_batched(state) if stepper.not_finished(state) else None
+            _advance_batched(state)
+            if kblock == 1 and stepper.not_finished(state)
+            else None
         )
         while inflight is not None:
             raw, state = inflight

@@ -31,6 +31,7 @@ Architecture (deliberately not a port):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 
 import jax
@@ -252,6 +253,7 @@ class Stepper:
         # must consist solely of compiled calls + host transfers.
         self._jit_step = jax.jit(self._step)
         self._jit_evolve = jax.jit(self._evolve_to_next_dump)
+        self._interval_jits: dict = {}
         self._jit_potential = jax.jit(self._potential)
         self._jit_snap = jax.jit(self._snap_after_dump)
         self._jit_init = jax.jit(self._init_from_planes)
@@ -830,6 +832,63 @@ class Stepper:
     def evolve_to_next_dump(self, state: SimState, batched: bool = False) -> SimState:
         del batched  # the step is batch-generic; kept for API compatibility
         return self._jit_evolve(state, self.consts)
+
+    def _evolve_intervals(
+        self, state: SimState, consts: StepConsts, *, k: int, with_potential: bool
+    ):
+        """Advance k dump intervals inside ONE compiled program (lax.scan).
+
+        Returns (final_state, outs): `outs` stacks each interval's dump
+        payload along a leading (k,) axis — psi as real planes (complex
+        cannot cross host<->device on the tunneled backend), the post-snap
+        manifest scalars, and the pre-snap just_dumped/aliased flags the
+        driver keys on. Intervals after every stream has finished are
+        harmless no-ops: the evolve while_loop's condition fails
+        immediately and snap is just_dumped-gated (snap zeroed the flag),
+        so their rows carry just_dumped=False and the host skips them.
+
+        This exists for dispatch-latency amortization: the production
+        driver previously dispatched one program per dump interval, which
+        on a remote/tunneled device costs a host round trip per dump
+        (~0.7 s each on axon — 200-dump runs of small ensembles were
+        entirely dispatch-bound). One scan compiles once (same body as a
+        single interval) and fetches k dumps per round trip.
+        """
+
+        def body(s, _):
+            raw = self._evolve_to_next_dump(s, consts)
+            snapped = self._snap_after_dump(raw)
+            out = {
+                "just_dumped": raw.just_dumped,
+                "aliased": raw.aliased,
+                "alias_mass": raw.alias_mass,
+                "max_norm_err": raw.max_norm_err,
+                "n_steps": raw.n_steps,
+                "current_dumps": snapped.current_dumps,
+                "time": snapped.time,
+                "tau": snapped.tau,
+                "a": snapped.a,
+                "psi_re": jnp.real(snapped.psi),
+                "psi_im": jnp.imag(snapped.psi),
+            }
+            if with_potential:
+                out["pot"] = self._potential(snapped.psi, consts)
+            return snapped, out
+
+        return jax.lax.scan(body, state, None, length=k)
+
+    def evolve_intervals(self, state: SimState, k: int, with_potential: bool = False):
+        """Jitted k-interval advance; see `_evolve_intervals`."""
+        key = (int(k), bool(with_potential))
+        fn = self._interval_jits.get(key)
+        if fn is None:
+            fn = jax.jit(
+                functools.partial(
+                    self._evolve_intervals, k=key[0], with_potential=key[1]
+                )
+            )
+            self._interval_jits[key] = fn
+        return fn(state, self.consts)
 
     def step(self, state: SimState) -> SimState:
         return self._jit_step(state, self.consts)

@@ -386,3 +386,31 @@ scheme = "Wigner"
             np.testing.assert_allclose(a, b, atol=1e-11)
     # no padded-row directories leak
     assert not any("stream00005" in d for d in os.listdir(root_b))
+
+
+def test_interval_block_matches_single(tmp_path, monkeypatch):
+    """k-interval blocking (stepper.evolve_intervals / MSM_INTERVAL_BLOCK)
+    is a pure dispatch-amortization: dumps, potentials and manifests are
+    identical to the one-interval loop. k=3 over 4 dumps also exercises
+    the post-finish no-op rows of the final block."""
+    import dataclasses
+    import json
+
+    toml = dataclasses.replace(
+        _toml(tmp_path, seeds="[2]", dumps=4), output_potential=True
+    )
+    roots = {}
+    for k in ("1", "3"):
+        monkeypatch.setenv("MSM_INTERVAL_BLOCK", k)
+        roots[k] = str(tmp_path / f"k{k}")
+        simulator.run_config(toml, dtype=jnp.complex128, data_root=roots[k])
+    for d in ("e2e", "e2e-stream00002"):
+        for i in range(5):
+            for field in ("psi", "potential"):
+                a = load_complex_pair(os.path.join(roots["1"], d, f"{field}_{i:05d}"))
+                b = load_complex_pair(os.path.join(roots["3"], d, f"{field}_{i:05d}"))
+                np.testing.assert_array_equal(a, b)
+        ma = json.load(open(os.path.join(roots["1"], d, "manifest.json")))
+        mb = json.load(open(os.path.join(roots["3"], d, "manifest.json")))
+        ma.pop("wall_time_ms"), mb.pop("wall_time_ms")
+        assert ma == mb
