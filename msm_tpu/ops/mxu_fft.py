@@ -182,10 +182,26 @@ def _matrices(size: int, inverse: bool, rdtype_name: str) -> np.ndarray:
 
 def _radix_phases(R: int, inverse: bool) -> list[list[complex]]:
     """omega_R^{a r} table (forward: e^{-2pi i a r / R}) as python complex
-    constants — folded into the traced adds, never materialized on device."""
+    constants — folded into the traced adds, never materialized on device.
+
+    Components are snapped to exact 0/±1 (np.exp leaves ~1.2e-16 residue
+    on the axis values): the kernels' trace-time fast paths key on exact
+    equality — `_real_fwd_lane_stage`'s all-real rows (2 real dots instead
+    of a 3-dot Karatsuba) and `_scale_add`'s 0/±1 folding — so an un-
+    snapped -1-1.22e-16j silently disables them for every radix-2 row."""
     sign = 2.0j if inverse else -2.0j
+
+    def snap(v: float) -> float:
+        for exact in (0.0, 1.0, -1.0):
+            if abs(v - exact) < 1e-12:
+                return exact
+        return v
+
     return [
-        [complex(np.exp(sign * np.pi * a * r / R)) for a in range(R)]
+        [
+            complex(snap(p.real), snap(p.imag))
+            for p in (np.exp(sign * np.pi * a * r / R) for a in range(R))
+        ]
         for r in range(R)
     ]
 
@@ -444,68 +460,6 @@ def _sublane_kernel(xr_ref, xi_ref, w_ref, or_ref, oi_ref, *, R, inverse, precis
 # Fusing them here removes whole HBM passes — the step is DMA-bound (the
 # pure-copy floor is ~0.65 ms/pass at 256^3 on v5e).
 # ---------------------------------------------------------------------------
-
-
-def _sublane_kernel_inv_kphase(
-    coeff_ref, xr_ref, xi_ref, w_ref, spec_ref, or_ref, oi_ref, *, R, precision
-):
-    """Inverse sublane pass with a fused pre-multiply by exp(i*c*spec):
-    the opening kinetic half-kick of the KDK step (update :504-516) rides
-    the inverse transform's read of psik. coeff is per-batch (SMEM)."""
-    phases = _radix_phases(R, inverse=True)
-    inv_sqrt_r = 1.0 / math.sqrt(R)
-    c = coeff_ref[pl.program_id(0)]
-    u = []
-    for r in range(R):
-        sl = slice(r * LEAF, (r + 1) * LEAF)
-        ang = c * spec_ref[0, sl, :]
-        cs = jnp.cos(ang)
-        sn = jnp.sin(ang)
-        xre = xr_ref[0, sl, :]
-        xim = xi_ref[0, sl, :]
-        rre = xre * cs - xim * sn
-        rim = xim * cs + xre * sn
-        u.append(_cmatmul_t(w_ref[r, 0], w_ref[r, 1], rre, rim, precision))
-    combined = _butterfly(u, phases, inv_sqrt_r)
-    for a in range(R):
-        or_ref[0, a * LEAF : (a + 1) * LEAF, :] = combined[a][0]
-        oi_ref[0, a * LEAF : (a + 1) * LEAF, :] = combined[a][1]
-
-
-def _fused_kernel_fwd_xphase(
-    coeff_ref, xr_ref, xi_ref, w_ref, phi_ref, or_ref, oi_ref, sr_ref, si_ref,
-    *, R, n0, precision,
-):
-    """Fused2 forward pass with a fused pre-multiply by exp(i*c*phi): the
-    potential kick (update :535-545) rides the forward transform's read of
-    psi. The fused2 grid index is batch*n0 + plane, so the per-batch coeff
-    is coeff_ref[i // n0]."""
-    phases = _radix_phases(R, inverse=False)
-    inv_sqrt_r = 1.0 / math.sqrt(R)
-    c = coeff_ref[pl.program_id(0) // n0]
-    chunks = []
-    for a in range(R):
-        sl = slice(a * LEAF, (a + 1) * LEAF)
-        ang = c * phi_ref[0, :, sl]
-        cs = jnp.cos(ang)
-        sn = jnp.sin(ang)
-        xre = xr_ref[0, :, sl]
-        xim = xi_ref[0, :, sl]
-        chunks.append((xre * cs - xim * sn, xim * cs + xre * sn))
-    s = _butterfly(chunks, phases, inv_sqrt_r)
-    for r in range(R):
-        yre, yim = _cmatmul(s[r][0], s[r][1], w_ref[r, 0], w_ref[r, 1], precision)
-        sr_ref[:, r * LEAF : (r + 1) * LEAF] = yre
-        si_ref[:, r * LEAF : (r + 1) * LEAF] = yim
-    chunks = [
-        (sr_ref[a * LEAF : (a + 1) * LEAF, :], si_ref[a * LEAF : (a + 1) * LEAF, :])
-        for a in range(R)
-    ]
-    s = _butterfly(chunks, phases, inv_sqrt_r)
-    for r in range(R):
-        yre, yim = _cmatmul_t(w_ref[r, 0], w_ref[r, 1], s[r][0], s[r][1], precision)
-        or_ref[0, r * LEAF : (r + 1) * LEAF, :] = yre
-        oi_ref[0, r * LEAF : (r + 1) * LEAF, :] = yim
 
 
 def _sublane_kernel_inv_kphase_sep(
@@ -1105,50 +1059,6 @@ def _sublane_view(xr, axis: int):
     return size, b1, lanes, width
 
 
-def _axis_pass_sublane_inv_kphase(xr, xi, axis: int, spec, coeff):
-    """Inverse sublane pass fused with the exp(i*coeff_b*spec) pre-multiply.
-
-    spec is a k-space constant grid in ENGINE order (broadcast over the
-    batch); coeff has one scalar per leading batch element (or is scalar).
-    """
-    size, b1, lanes, width = _sublane_view(xr, axis)
-    R = size // LEAF
-    w = jnp.asarray(_matrices(size, True, xr.dtype.name))
-    xr3 = xr.reshape(b1, size, lanes)
-    xi3 = xi.reshape(b1, size, lanes)
-    spec3 = jnp.asarray(spec, xr.dtype).reshape(1, size, lanes)
-    coeff = jnp.broadcast_to(jnp.asarray(coeff, xr.dtype).reshape(-1), (b1,))
-    grid = (b1, lanes // width)
-    spec_x = pl.BlockSpec(
-        (1, size, width), lambda i, j, *_refs: (i, 0, j), memory_space=pltpu.VMEM
-    )
-    spec_s = pl.BlockSpec(
-        (1, size, width), lambda i, j, *_refs: (0, 0, j), memory_space=pltpu.VMEM
-    )
-    wspec = pl.BlockSpec(
-        (R, 2, LEAF, LEAF), lambda i, j, *_refs: (0, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    kern = functools.partial(
-        _sublane_kernel_inv_kphase, R=R, precision=_precision()
-    )
-    out = pl.pallas_call(
-        kern,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[spec_x, spec_x, wspec, spec_s],
-            out_specs=[spec_x, spec_x],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
-            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
-        ],
-        compiler_params=_cparams(2),
-        interpret=_interpret(),
-    )(coeff, xr3, xi3, w, spec3)
-    return out[0].reshape(xr.shape), out[1].reshape(xr.shape)
-
-
 def _axis_pass_sublane_roundtrip_pmap(xr, xi, axis: int, pmap):
     """One-pass F_axis -> pmap multiply -> F_axis^-1 (see kernel)."""
     size, b1, lanes, width = _sublane_view(xr, axis)
@@ -1219,55 +1129,6 @@ def _axis_pass_sublane_inv_pmap(xr, xi, axis: int, pmap):
         interpret=_interpret(),
     )(xr3, xi3, w, pmap3)
     return out[0].reshape(xr.shape), out[1].reshape(xr.shape)
-
-
-def _axis_pass_fused2_fwd_xphase(xr, xi, phi, coeff):
-    """Fused2 forward pass fused with the exp(i*coeff_b*phi) pre-multiply."""
-    size = xr.shape[-1]
-    assert xr.shape[-2] == size
-    R = size // LEAF
-    w = jnp.asarray(_matrices(size, False, xr.dtype.name))
-    lead = xr.shape[:-2]
-    m = int(np.prod(lead)) if lead else 1
-    coeff = jnp.asarray(coeff, xr.dtype).reshape(-1)
-    b = coeff.shape[0]
-    assert m % b == 0
-    n0 = m // b
-    xr3 = xr.reshape(m, size, size)
-    xi3 = xi.reshape(m, size, size)
-    phi3 = jnp.broadcast_to(jnp.asarray(phi, xr.dtype), xr.shape).reshape(
-        m, size, size
-    )
-    spec = pl.BlockSpec(
-        (1, size, size), lambda i, *_refs: (i, 0, 0), memory_space=pltpu.VMEM
-    )
-    wspec = pl.BlockSpec(
-        (R, 2, LEAF, LEAF), lambda i, *_refs: (0, 0, 0, 0), memory_space=pltpu.VMEM
-    )
-    kern = functools.partial(
-        _fused_kernel_fwd_xphase, R=R, n0=n0, precision=_precision()
-    )
-    out = pl.pallas_call(
-        kern,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(m,),
-            in_specs=[spec, spec, wspec, spec],
-            out_specs=[spec, spec],
-            scratch_shapes=[
-                pltpu.VMEM((size, size), xr.dtype),
-                pltpu.VMEM((size, size), xr.dtype),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((m, size, size), xr.dtype),
-            jax.ShapeDtypeStruct((m, size, size), xr.dtype),
-        ],
-        compiler_params=_cparams(1),
-        interpret=_interpret(),
-    )(coeff, xr3, xi3, w, phi3)
-    shape = lead + (size, size)
-    return out[0].reshape(shape), out[1].reshape(shape)
 
 
 def _axis_pass_fused2_density(pr, pi, prefactor: float):
@@ -1660,74 +1521,30 @@ def _fuse2_ok(shape, dims: int) -> bool:
     return _FUSE2 and dims >= 2 and shape[-2] == shape[-1]
 
 
-def forward_engine(
-    psi: jnp.ndarray, dims: int, *, xphase=None
-) -> jnp.ndarray:
-    """Ortho forward FFT over the last `dims` axes; k in ENGINE order.
-
-    xphase=(phi, coeff): pre-multiply psi by exp(i*coeff_b*phi) — the
-    potential kick (update :535-545) fused into the transform's first
-    read of psi (dims==3 fused path; XLA pre-multiply otherwise).
-    """
+def forward_engine(psi: jnp.ndarray, dims: int) -> jnp.ndarray:
+    """Ortho forward FFT over the last `dims` axes; k in ENGINE order."""
     xr = jnp.real(psi)
     xi = jnp.imag(psi)
     if _fuse2_ok(psi.shape, dims):
-        if xphase is not None and dims == 3:
-            xr, xi = _axis_pass_fused2_fwd_xphase(xr, xi, *xphase)
-        else:
-            if xphase is not None:
-                xr, xi = _xla_phase(xr, xi, *xphase)
-            xr, xi = _axis_pass_fused2(xr, xi, inverse=False)
+        xr, xi = _axis_pass_fused2(xr, xi, inverse=False)
         for ax in range(psi.ndim - dims, psi.ndim - 2):
             xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=False)
         return jax.lax.complex(xr, xi)
-    if xphase is not None:
-        xr, xi = _xla_phase(xr, xi, *xphase)
     xr, xi = _axis_pass_lane(xr, xi, psi.shape[-1], inverse=False)
     for ax in range(psi.ndim - dims, psi.ndim - 1):
         xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=False)
     return jax.lax.complex(xr, xi)
 
 
-def _xla_phase(xr, xi, field, coeff):
-    """Fallback exp(i*coeff*field) rotation on planar arrays (XLA fuses)."""
-    c = jnp.asarray(coeff, xr.dtype)
-    c = c.reshape(c.shape + (1,) * (xr.ndim - c.ndim))
-    ang = c * jnp.asarray(field, xr.dtype)
-    cs = jnp.cos(ang)
-    sn = jnp.sin(ang)
-    return xr * cs - xi * sn, xi * cs + xr * sn
-
-
-def inverse_engine(
-    psik: jnp.ndarray, dims: int, *, kphase=None
-) -> jnp.ndarray:
-    """Ortho inverse FFT from ENGINE-order k to natural x.
-
-    kphase=(spec, coeff): pre-multiply psik by exp(i*coeff_b*spec) — the
-    kinetic half-kick (update :504-516) fused into the transform's first
-    read of psik (spec in ENGINE order; dims==3 fused path, XLA otherwise).
-    """
+def inverse_engine(psik: jnp.ndarray, dims: int) -> jnp.ndarray:
+    """Ortho inverse FFT from ENGINE-order k to natural x."""
     xr = jnp.real(psik)
     xi = jnp.imag(psik)
     if _fuse2_ok(psik.shape, dims):
-        first = True
         for ax in range(psik.ndim - dims, psik.ndim - 2):
-            if first and kphase is not None and dims == 3:
-                xr, xi = _axis_pass_sublane_inv_kphase(
-                    xr, xi, ax, kphase[0], kphase[1]
-                )
-            else:
-                if first and kphase is not None:
-                    xr, xi = _xla_phase(xr, xi, *kphase)
-                xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=True)
-            first = False
-        if first and kphase is not None:
-            xr, xi = _xla_phase(xr, xi, *kphase)
+            xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=True)
         xr, xi = _axis_pass_fused2(xr, xi, inverse=True)
         return jax.lax.complex(xr, xi)
-    if kphase is not None:
-        xr, xi = _xla_phase(xr, xi, *kphase)
     for ax in range(psik.ndim - dims, psik.ndim - 1):
         xr, xi = _axis_pass_sublane(xr, xi, ax, inverse=True)
     xr, xi = _axis_pass_lane(xr, xi, psik.shape[-1], inverse=True)

@@ -145,6 +145,22 @@ def _interval_block_k(params, n_batch: int, dtype, stepper) -> int:
     return max(1, min(int(budget // max(per_interval, 1)), 32, max_k))
 
 
+def _speculation_ok(params, n_batch: int, dtype, kblock: int) -> bool:
+    """Whether dispatching block i+1 before fetching block i fits memory.
+
+    Speculation keeps TWO interval programs (psi+psik state each) plus two
+    blocks' stacked dump payloads live; past ~4 GB of live pytrees the
+    dispatch-queue allocator stalls (CLAUDE.md, measured at 512^3). Budget
+    via MSM_SPECULATE_MB (default 3072); below it the driver overlaps
+    transfers+writes with the next block's compute, above it blocks are
+    dispatched synchronously after the fetch."""
+    grid = n_batch * int(np.prod(params.shape)) * jnp.dtype(dtype).itemsize
+    payload = kblock * grid * (3 if params.output_potential else 2) // 2
+    live = 2 * (2 * grid) + 2 * payload
+    budget = float(os.environ.get("MSM_SPECULATE_MB", "3072")) * 2**20
+    return live <= budget
+
+
 def _state_scalars(state: SimState, i: Optional[int] = None) -> dict:
     def pick(x):
         x = np.asarray(x)
@@ -477,6 +493,7 @@ def run_single(
             # no-op on alias-aborted mid-interval states.
             return stepper.evolve_intervals(s, kblock, with_potential=want_pot)
 
+        speculate = _speculation_ok(params, 1, dtype, kblock)
         inflight = _advance(state) if stepper.not_finished(state) else None
         aborted = False
         while inflight is not None:
@@ -487,7 +504,8 @@ def run_single(
             # A wrong speculation (final block or alias abort) costs one
             # no-op dispatch — the evolve while_loop's condition fails
             # immediately on finished/aliased states and snap no-ops.
-            speculative = _advance(state)
+            # Big states dispatch synchronously instead (_speculation_ok).
+            speculative = _advance(state) if speculate else None
             # full-stack host fetches (never index a device array eagerly:
             # on the tunneled backend every eager op is a remote compile)
             host = {name: np.asarray(v) for name, v in outs.items()}
@@ -513,7 +531,7 @@ def run_single(
                 if not jd[j]:
                     continue  # post-finish no-op interval
                 if debug_checks:
-                    err = float(np.asarray(outs["max_norm_err"][j]))
+                    err = float(host["max_norm_err"][j])
                     if not err < 1e-3:
                         raise FloatingPointError(
                             f"in-step unitarity violation in {params.sim_name}: "
@@ -530,11 +548,10 @@ def run_single(
                         f"({params.sim_name}) dump {idx}/{params.num_data_dumps} "
                         f"t = {scalars['time']:.6g}"
                     )
-            inflight = (
-                speculative
-                if not aborted and stepper.not_finished(state)
-                else None
-            )
+            if aborted or not stepper.not_finished(state):
+                inflight = None
+            else:
+                inflight = speculative if speculate else _advance(state)
     finally:
         if own_writer:
             writer.close()
@@ -740,20 +757,30 @@ def run_config(
             def _advance_blocks(s):
                 return stepper.evolve_intervals(s, kblock, with_potential=want_pot)
 
+            speculate = _speculation_ok(
+                mft_params, int(state.psi.shape[0]), dtype, kblock
+            )
             inflight = _advance_blocks(state) if stepper.not_finished(state) else None
             while inflight is not None:
                 state, outs = inflight
                 # dispatch block i+1 before block i's host fetches (same
-                # speculation-safety argument as the one-interval loop)
-                speculative = _advance_blocks(state)
+                # speculation-safety argument as the one-interval loop);
+                # big states dispatch synchronously (_speculation_ok)
+                speculative = _advance_blocks(state) if speculate else None
                 host = {name: np.asarray(v) for name, v in outs.items()}
                 re_np, im_np = host["psi_re"], host["psi_im"]
                 cdt = np.complex64 if re_np.dtype == np.float32 else np.complex128
                 for j in range(kblock):
                     jd = host["just_dumped"][j]
                     al = host["aliased"][j]
-                    if not (jd[:n].any() or al[:n].any()):
-                        continue  # post-finish no-op interval
+                    # skip rows with nothing to do: no dumps and no NEWLY
+                    # aliased stream (the latched aliased flag stays True
+                    # on every row after a freeze)
+                    if not (
+                        jd[:n].any()
+                        or (al[:n] & ~np.asarray(reported_alias)).any()
+                    ):
+                        continue  # post-finish / frozen no-op interval
                     total_steps = max(total_steps, int(host["n_steps"][j].max()))
                     dumps_j = host["current_dumps"][j]
 
@@ -810,7 +837,12 @@ def run_config(
                         )
                     else:
                         progress.update(done, sim_time=float(host["time"][j][:n].min()))
-                inflight = speculative if stepper.not_finished(state) else None
+                if not stepper.not_finished(state):
+                    inflight = None
+                else:
+                    inflight = (
+                        speculative if speculate else _advance_blocks(state)
+                    )
 
         def _advance_batched(s):
             raw = stepper.evolve_to_next_dump(s, batched=True)

@@ -365,24 +365,13 @@ class Stepper:
 
     def _inv_with_kick(self, psik, coeff, consts: StepConsts):
         """F^-1[exp(i*coeff*k^2) * psik] — the opening kinetic half-kick
-        (update :504-516) fused into the inverse transform's first read of
-        psik on the fused-phase path (no standalone k-space HBM pass)."""
-        if self.fuse_phases:
-            from .ops import mxu_fft
-
-            return mxu_fft.inverse_engine(
-                psik, self.params.dims, kphase=(consts.spec_grid, coeff)
-            )
+        (update :504-516). Non-fused paths only: with fuse_phases the whole
+        interior runs in mxu_fft.fused_step_3d and never calls this."""
         return self._inv(self._apply_kinetic(psik, coeff, consts))
 
     def _fwd_with_kick(self, psi, phi, coeff):
-        """F[exp(i*coeff*phi) * psi] — the potential kick (update :535-545)
-        fused into the forward transform's first read of psi on the
-        fused-phase path."""
-        if self.fuse_phases:
-            from .ops import mxu_fft
-
-            return mxu_fft.forward_engine(psi, self.params.dims, xphase=(phi, coeff))
+        """F[exp(i*coeff*phi) * psi] — the potential kick (update :535-545).
+        Non-fused paths only (see _inv_with_kick)."""
         return self._fwd(self._apply_potential(psi, phi, coeff))
 
     def _poisson_multiply(self, rho_k, consts: StepConsts):
@@ -911,16 +900,21 @@ class Stepper:
         Vectorizes over any leading batch axes.
         """
         p = self.params
-        dumps = state.current_dumps + state.just_dumped.astype(jnp.int32)
+        # A stream that aliased ON its dump step never has that dump
+        # written (the driver checks aliased first), so its counter must
+        # not count it — otherwise the manifest points resume at a dump
+        # file that does not exist.
+        counted = state.just_dumped & ~state.aliased
+        dumps = state.current_dumps + counted.astype(jnp.int32)
         snapped_t = self.t0 + dumps.astype(self.tdtype) * (
             p.final_sim_time / p.num_data_dumps
         )
-        new_time = jnp.where(state.just_dumped, snapped_t, state.time)
+        new_time = jnp.where(counted, snapped_t, state.time)
         if p.expanding:
             snapped_tau = jnp.asarray(self.tau_dumps, self.tdtype)[
                 jnp.minimum(dumps, p.num_data_dumps)
             ]
-            new_tau = jnp.where(state.just_dumped, snapped_tau, state.tau)
+            new_tau = jnp.where(counted, snapped_tau, state.tau)
         else:
             new_tau = state.tau
         return dataclasses.replace(

@@ -186,23 +186,28 @@ def run_ensemble_bench(
     from .transfer import device_put_complex
 
     psi0 = device_put_complex(build_ics(params), jnp.complex64)
-    seeds = jnp.arange(1, streams + 1, dtype=jnp.uint32)
-    batch = sample_stream_batch(psi0, params, seeds, "Wigner")
-    state = stepper.init_state(batch, batched=True)
+
+    def make_state(seed0: int):
+        seeds = jnp.arange(seed0, seed0 + streams, dtype=jnp.uint32)
+        batch = sample_stream_batch(psi0, params, seeds, "Wigner")
+        return stepper.init_state(batch, batched=True)
 
     redsum = jax.jit(lambda a: jnp.real(a).sum())
 
-    # warm up one chunk (compile)
-    state = stepper.snap_after_dump(stepper.evolve_to_next_dump(state))
-    float(np.asarray(redsum(state.psi)))
+    # Production path: all dump intervals in ONE dispatch (evolve_intervals
+    # scan — the driver's interval blocking). Warm up/compile on one seed
+    # batch, time a DIFFERENT batch: the tunneled backend serves repeated
+    # (executable, inputs) pairs from a result cache (BASELINE.md).
+    warm, _ = stepper.evolve_intervals(make_state(1), dumps)
+    float(np.asarray(redsum(warm.psi)))
 
+    state = make_state(1 + streams)
+    float(np.asarray(redsum(state.psi)))  # sync init out of the timed region
     t0 = _t.perf_counter()
-    chunks = 0
-    while stepper.not_finished(state):
-        state = stepper.snap_after_dump(stepper.evolve_to_next_dump(state))
-        chunks += 1
+    state, _ = stepper.evolve_intervals(state, dumps)
     float(np.asarray(redsum(state.psi)))
     elapsed = _t.perf_counter() - t0
+    chunks = dumps
     total_steps = int(np.asarray(state.n_steps).sum())
     return {
         "metric": "streams_per_s",

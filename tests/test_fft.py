@@ -225,14 +225,19 @@ def test_mxu_bf16x3_precision_mode(rng):
         m._PRECISION = saved
 
 
-def test_fused_step_3d_matches_unfused_chain(rng):
+@pytest.mark.parametrize("n,batch", [(128, 2), (256, 1)])
+def test_fused_step_3d_matches_unfused_chain(rng, n, batch):
     """fused_step_3d's five passes — including the in-kernel reductions
     (sum|psik|^2, alias mass above the cutoff, max|phi|) and the k-space
     constants synthesized from the separable 1-D tables — reproduce the
-    explicit unfused chain of engine transforms + XLA reductions."""
-    n = 128
+    explicit unfused chain of engine transforms + XLA reductions.
+
+    n=128 is R=1 (no radix butterfly); n=256 exercises the R=2 butterfly
+    and the all-real radix-2 lane fast paths in every fused kernel — the
+    production 256^3/512^3 code shape."""
     psik = (
-        rng.standard_normal((2, n, n, n)) + 1j * rng.standard_normal((2, n, n, n))
+        rng.standard_normal((batch, n, n, n))
+        + 1j * rng.standard_normal((batch, n, n, n))
     ).astype(np.complex64)
     k1d = np.square(2.0 * np.pi * np.fft.fftfreq(n, d=1.0 / n)).astype(np.float32)
     s1d = np.take(k1d, mxu_fft.engine_perm(n))
@@ -241,8 +246,14 @@ def test_fused_step_3d_matches_unfused_chain(rng):
     spec_e = (
         s1d[:, None, None] + s1d[None, :, None] + s1d[None, None, :]
     )
-    kcoeff = np.asarray([3e-4, -1e-4], np.float32)
-    vcoeff = np.asarray([-2e-3, 1e-3], np.float32)
+    # CFL-physical kick magnitudes: |kcoeff|*k2_max = O(1) radian (a real
+    # run's dt is CFL-bounded). Unphysically large angles (e.g. 3e-4*k2max
+    # ~ 194 rad at n=256) make the comparison measure nothing but f32
+    # argument-reduction differences between the two exp implementations.
+    kcoeff = np.asarray([1.5, -0.5][:batch], np.float32) / np.float32(
+        3 * k1d.max()
+    )
+    vcoeff = np.asarray([-2e-3, 1e-3][:batch], np.float32)
     pois, cut, pref = 0.7, float(0.5 * spec_e.max()), 2.0
 
     psi, psik2, ns, am, mx = mxu_fft.fused_step_3d(
