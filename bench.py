@@ -17,7 +17,8 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--dims", type=int, default=3)
-    parser.add_argument("--streams", type=int, default=1)
+    # default: 1 stream for the kdk metric, 128 for the ensemble metric
+    parser.add_argument("--streams", type=int, default=None)
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument(
         "--dt-mode",

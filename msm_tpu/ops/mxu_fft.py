@@ -555,6 +555,61 @@ def _sublane_kernel_fwd_reduce_sep(
     as_ref[...] = jnp.broadcast_to(asum, as_ref.shape).astype(as_ref.dtype)
 
 
+def _sublane_kernel_roundtrip_kick_reduce_sep(
+    xr_ref, xi_ref, wf_ref, wi_ref, s0_ref, s12_ref,
+    f0c_ref, f0s_ref, f12c_ref, f12s_ref,
+    or_ref, oi_ref, ns_ref, as_ref, *, R, cutoff, precision,
+):
+    """Cross-STEP fusion kernel: forward transform of axis 0, norm/alias
+    partial sums of the full spectrum, kinetic-kick phase multiply and
+    inverse transform — all in ONE HBM pass.
+
+    The closing axis-0 forward of step i (update :552) and the opening
+    kinetic half-kick + axis-0 inverse of step i+1 (:504-523) are adjacent
+    through elementwise k-space work only, so the steady-state evolve loop
+    never materializes psik in HBM (stepper's skewed loop /
+    `fused_step_3d_skewed`). The reductions (check_norm grid.rs:35-64,
+    check_alias :1249-1293) and the kick phase both see the full k^2 =
+    s0[p0] + s12[j] synthesized from the separable tables; |psik| is
+    invariant under the kick so reduce-then-kick ordering is exact."""
+    fphases = _radix_phases(R, inverse=False)
+    iphases = _radix_phases(R, inverse=True)
+    inv_sqrt_r = 1.0 / math.sqrt(R)
+    s12 = s12_ref[...]
+    c12 = f12c_ref[0]
+    sn12 = f12s_ref[0]
+    chunks = [
+        (xr_ref[0, a * LEAF : (a + 1) * LEAF, :], xi_ref[0, a * LEAF : (a + 1) * LEAF, :])
+        for a in range(R)
+    ]
+    s = _butterfly(chunks, fphases, inv_sqrt_r)
+    nsum = None
+    asum = None
+    u = []
+    for r in range(R):
+        yre, yim = _cmatmul_t(wf_ref[r, 0], wf_ref[r, 1], s[r][0], s[r][1], precision)
+        sl = slice(r * LEAF, (r + 1) * LEAF)
+        p2 = yre * yre + yim * yim
+        k2 = s0_ref[sl, :] + s12
+        ns = jnp.sum(p2)
+        am = jnp.sum(jnp.where(k2 > cutoff, p2, 0.0))
+        nsum = ns if nsum is None else nsum + ns
+        asum = am if asum is None else asum + am
+        c0 = f0c_ref[0, sl, :]
+        s0v = f0s_ref[0, sl, :]
+        pr = c0 * c12 - s0v * sn12
+        pi = c0 * sn12 + s0v * c12
+        rre = yre * pr - yim * pi
+        rim = yim * pr + yre * pi
+        u.append(_cmatmul_t(wi_ref[r, 0], wi_ref[r, 1], rre, rim, precision))
+    combined = _butterfly(u, iphases, inv_sqrt_r)
+    for a in range(R):
+        or_ref[0, a * LEAF : (a + 1) * LEAF, :] = combined[a][0]
+        oi_ref[0, a * LEAF : (a + 1) * LEAF, :] = combined[a][1]
+    ns_ref[...] = jnp.broadcast_to(nsum, ns_ref.shape).astype(ns_ref.dtype)
+    as_ref[...] = jnp.broadcast_to(asum, as_ref.shape).astype(as_ref.dtype)
+
+
 def _fused_kernel_inv_density(
     xr_ref, xi_ref, wi_ref, wf_ref, pr_ref, pi_ref, dr_ref, di_ref,
     sr_ref, si_ref, *, R, prefactor, precision, pprecision,
@@ -1416,6 +1471,78 @@ def _axis_pass_sublane_fwd_reduce_sep(xr, xi, axis: int, s0, s12, cutoff: float)
     )
 
 
+def _axis_pass_sublane_roundtrip_kick_reduce_sep(
+    xr, xi, axis: int, s0, s12, coeff, cutoff: float
+):
+    """One-pass F_axis -> (norm/alias partial sums; exp(i*c*k^2) kick) ->
+    F_axis^-1 (see kernel). coeff is per-stream leading-batch scalars; the
+    separable phase-factor tables are built by XLA outside the kernel
+    (b x size + b x lanes sin/cos — trivial). Returns (re, im, norm_sums,
+    alias_sums) with the partial sums shaped (b1, lanes // width)."""
+    size, b1, lanes, width = _sublane_view(xr, axis)
+    R = size // LEAF
+    wf = jnp.asarray(_matrices(size, False, xr.dtype.name))
+    wi = jnp.asarray(_matrices(size, True, xr.dtype.name))
+    xr3 = xr.reshape(b1, size, lanes)
+    xi3 = xi.reshape(b1, size, lanes)
+    s0v, s12v = _sep_tables(s0, s12, xr.dtype)
+    c = jnp.broadcast_to(jnp.asarray(coeff, xr.dtype).reshape(-1), (b1,))
+    ang0 = c[:, None] * jnp.asarray(s0, xr.dtype).reshape(1, size)
+    ang12 = c[:, None] * jnp.asarray(s12, xr.dtype).reshape(1, lanes)
+    f0c = jnp.cos(ang0).reshape(b1, size, 1)
+    f0s = jnp.sin(ang0).reshape(b1, size, 1)
+    f12c = jnp.cos(ang12).reshape(b1, 1, lanes)
+    f12s = jnp.sin(ang12).reshape(b1, 1, lanes)
+    nblk = lanes // width
+    grid = (b1, nblk)
+    spec_x = pl.BlockSpec(
+        (1, size, width), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    spec_s0 = pl.BlockSpec((size, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    spec_s12 = pl.BlockSpec((1, width), lambda i, j: (0, j), memory_space=pltpu.VMEM)
+    spec_f0 = pl.BlockSpec(
+        (1, size, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec_f12 = pl.BlockSpec(
+        (1, 1, width), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+    )
+    wspec = pl.BlockSpec(
+        (R, 2, LEAF, LEAF), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    sspec = pl.BlockSpec(
+        (1, 1, 8, LEAF), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(
+        _sublane_kernel_roundtrip_kick_reduce_sep,
+        R=R,
+        cutoff=float(cutoff),
+        precision=_precision(),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            spec_x, spec_x, wspec, wspec, spec_s0, spec_s12,
+            spec_f0, spec_f0, spec_f12, spec_f12,
+        ],
+        out_specs=[spec_x, spec_x, sspec, sspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
+            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
+            jax.ShapeDtypeStruct((b1, nblk, 8, LEAF), xr.dtype),
+            jax.ShapeDtypeStruct((b1, nblk, 8, LEAF), xr.dtype),
+        ],
+        compiler_params=_cparams(2),
+        interpret=_interpret(),
+    )(xr3, xi3, wf, wi, s0v, s12v, f0c, f0s, f12c, f12s)
+    return (
+        out[0].reshape(xr.shape),
+        out[1].reshape(xr.shape),
+        out[2][..., 0, 0],
+        out[3][..., 0, 0],
+    )
+
+
 def fused_step_3d(
     psik, s0, s12, kcoeff, vcoeff,
     poisson_coeff: float, alias_cutoff: float, prefactor: float,
@@ -1450,11 +1577,9 @@ def fused_step_3d(
     xi = jnp.imag(psik)
     ax0 = psik.ndim - 3
     xr, xi = _axis_pass_sublane_inv_kphase_sep(xr, xi, ax0, s0, s12, kcoeff)
-    pr, pi, dr, di = _axis_pass_fused2_inv_density(xr, xi, prefactor)
-    dr, di = _axis_pass_sublane_roundtrip_poisson_sep(
-        dr, di, ax0, s0, s12, poisson_coeff
+    pr, pi, qr, qi, mx = _interior_passes_234(
+        xr, xi, ax0, s0, s12, vcoeff, poisson_coeff, prefactor
     )
-    qr, qi, mx = _axis_pass_fused2_potkick_fwd(dr, di, pr, pi, vcoeff)
     qr, qi, ns, am = _axis_pass_sublane_fwd_reduce_sep(
         qr, qi, ax0, s0, s12, alias_cutoff
     )
@@ -1468,6 +1593,85 @@ def fused_step_3d(
         am,
         phi_max,
     )
+
+
+def _interior_passes_234(xr, xi, ax0, s0, s12, vcoeff, poisson_coeff, prefactor):
+    """Passes 2-4 of the fused step (see fused_step_3d): input is the
+    mixed-space field (axis 0 spatial, axes 1-2 in engine k); returns the
+    psi planes, the pass-4 output (same mixed layout) and per-(batch*n0)
+    max|phi| partials."""
+    pr, pi, dr, di = _axis_pass_fused2_inv_density(xr, xi, prefactor)
+    dr, di = _axis_pass_sublane_roundtrip_poisson_sep(
+        dr, di, ax0, s0, s12, poisson_coeff
+    )
+    qr, qi, mx = _axis_pass_fused2_potkick_fwd(dr, di, pr, pi, vcoeff)
+    return pr, pi, qr, qi, mx
+
+
+def fused_step_3d_skewed(
+    qr, qi, s0, s12, kcoeff, vcoeff,
+    poisson_coeff: float, alias_cutoff: float, prefactor: float,
+):
+    """The lagged KDK step interior SKEWED by half a pass: input and output
+    are the MIXED-space field q (axis 0 spatial, axes 1-2 in engine k — the
+    pass-4 output layout) as planar f32, with F_0(q) == the true psik (any
+    deferred half-kick folded into kcoeff by the caller).
+
+    Pass A fuses step i's closing axis-0 forward (+ the norm/alias
+    reductions of psik AFTER step i) with step i+1's opening kinetic kick
+    exp(i*kcoeff*k^2) and axis-0 inverse into ONE kernel
+    (`_sublane_kernel_roundtrip_kick_reduce_sep`); passes 2-4 are exactly
+    fused_step_3d's. In the steady-state evolve loop psik therefore never
+    exists in HBM, and the loop carrier stays planar f32 (no complex64
+    join/split passes at the while_loop back edge) — ~48 B/cell/step less
+    HBM traffic than the 5-pass form.
+
+    Returns (q_re, q_im, norm_sums, alias_sums, phi_max). NB: the
+    reductions describe the INPUT state (one step behind — the caller
+    accounts them to the previous step and re-derives the final step's at
+    materialization, `skew_exit`).
+    """
+    lead = qr.shape[:-3]
+    n0 = qr.shape[-3]
+    ax0 = qr.ndim - 3
+    xr, xi, ns, am = _axis_pass_sublane_roundtrip_kick_reduce_sep(
+        qr, qi, ax0, s0, s12, kcoeff, alias_cutoff
+    )
+    _pr, _pi, qr2, qi2, mx = _interior_passes_234(
+        xr, xi, ax0, s0, s12, vcoeff, poisson_coeff, prefactor
+    )
+    phi_max = jnp.max(mx.reshape(lead + (n0,)), axis=-1)
+    ns = jnp.sum(ns.reshape(lead + (-1,)), axis=-1)
+    am = jnp.sum(am.reshape(lead + (-1,)), axis=-1)
+    return qr2, qi2, ns, am, phi_max
+
+
+def skew_enter(psik: jnp.ndarray, dims: int):
+    """complex psik (engine order) -> planar mixed-space q = F_0^-1[psik]
+    (the skewed loop carrier; one sublane pass)."""
+    assert dims == 3
+    xr = jnp.real(psik)
+    xi = jnp.imag(psik)
+    return _axis_pass_sublane(xr, xi, psik.ndim - 3, inverse=True)
+
+
+def skew_exit(qr, qi, s0, s12, pending, alias_cutoff: float):
+    """Materialize (psi, psik, norm_sums, alias_sums) from the skewed
+    mixed-space state: one axis-0 roundtrip applying the deferred kick
+    exp(i*pending*k^2) (and emitting the final step's norm/alias
+    reductions, which the skewed loop computes one iteration late), then
+    psik = F_0[q'] and psi = F_{1,2}^-1[q'] — the same 3 passes the
+    unskewed dump-boundary materialization costs."""
+    lead = qr.shape[:-3]
+    ax0 = qr.ndim - 3
+    qr2, qi2, ns, am = _axis_pass_sublane_roundtrip_kick_reduce_sep(
+        qr, qi, ax0, s0, s12, pending, alias_cutoff
+    )
+    kr, ki = _axis_pass_sublane(qr2, qi2, ax0, inverse=False)
+    pr, pi = _axis_pass_fused2(qr2, qi2, inverse=True)
+    ns = jnp.sum(ns.reshape(lead + (-1,)), axis=-1)
+    am = jnp.sum(am.reshape(lead + (-1,)), axis=-1)
+    return jax.lax.complex(pr, pi), jax.lax.complex(kr, ki), ns, am
 
 
 def _axis_pass_sublane(xr, xi, axis: int, inverse: bool):

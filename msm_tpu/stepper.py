@@ -184,6 +184,17 @@ class Stepper:
             and mxu_fft._FUSE2
             and os.environ.get("MSM_FUSE_PHASES", "1") not in ("0", "false")
         )
+        # Skewed evolve loop (lagged fused path only): the while_loop
+        # carries the step's mixed-space pass-4 output as planar f32 and
+        # fuses step i's closing axis-0 forward with step i+1's opening
+        # kinetic kick + axis-0 inverse (mxu_fft.fused_step_3d_skewed) —
+        # psik never exists in HBM in the steady state and the loop
+        # back-edge pays no planar<->complex64 conversion passes.
+        self.skew = (
+            self.fuse_phases
+            and dt_mode == "lagged"
+            and os.environ.get("MSM_SKEW_STEP", "1") not in ("0", "false")
+        )
 
         # Dump schedule: t_dump[i] = t0 + i * T / num_dumps. The reference
         # mis-schedules dumps when `time != 0` (its "TODO: fix for
@@ -771,6 +782,165 @@ class Stepper:
     # Dump-to-dump evolution (the jitted hot loop)
     # ------------------------------------------------------------------
 
+    def _skew_scalar_advance(self, state: SimState, consts: StepConsts):
+        """Per-step scalar bookkeeping for the skewed loop: adaptive
+        dt/dtau (lagged — from the carried max|phi|), dump flag, kick
+        coefficients and the advanced time/tau/a. Mirrors the scalar
+        prologue of _step_static / _step_expanding exactly."""
+        p = self.params
+        dt, is_dump = self._timestep(None, state, consts)
+        if p.expanding:
+            kcoeff = (-dt / 4.0).astype(self.rdtype)
+            a, t, tau = state.a, state.time, state.tau
+            vtot = jnp.zeros_like(kcoeff)
+            for _ in range(2):
+                vtot = vtot + ((-dt / 2.0) * a).astype(self.rdtype)
+                a, t = cosmo_mod.advance_a_t_by_dtau(a, t, dt / 2.0, p.cosmology)
+                tau = tau + dt / 2.0
+            return is_dump, kcoeff, vtot, t, tau, a
+        kcoeff = (-dt / 4.0 * p.hbar_).astype(self.rdtype)
+        vcoeff = (-dt / p.hbar_).astype(self.rdtype)
+        return is_dump, kcoeff, vcoeff, state.time + dt, state.tau, state.a
+
+    def _make_skew_body(self, consts: StepConsts, finished, batched: bool):
+        """The skewed evolve-loop body (see _evolve_to_next_dump_skewed).
+
+        The carrier is a SimState whose psik leaf holds the planar
+        mixed-space pair (q_re, q_im) with F_0(q) == true psik * the
+        pending-kick phase; psi stays stale (lagged mode's lazy psi)."""
+        from .ops import mxu_fft
+
+        p = self.params
+        dkd = jnp.asarray(p.dk**p.dims, self.rdtype)
+
+        def body(s: SimState) -> SimState:
+            active = self._active(s, finished)
+            is_dump, kcoeff, vcoeff, t, tau, a = self._skew_scalar_advance(
+                s, consts
+            )
+            sqr, sqi = s.psik
+            qr2, qi2, ns, am, phi_max = mxu_fft.fused_step_3d_skewed(
+                sqr,
+                sqi,
+                consts.spec_axis0,
+                consts.spec_axis12,
+                s.pending_k + kcoeff,
+                vcoeff,
+                self.poisson_coeff,
+                p.k2_cutoff * self.k2_max,
+                self.density_prefactor,
+            )
+            # ns/am describe the state ENTERING this iteration (the skew
+            # computes step i's psik reductions inside step i+1's pass A).
+            mass_in = am * dkd
+            nrm_in = ns * dkd
+            # A stream whose LAST step aliased must not advance: discard
+            # this iteration's work so its state stays post-aliased-step,
+            # matching the reference's "aliased update completes, then the
+            # stream stops" (:607-617). n_steps>0 guards the initial state
+            # (the reference never alias-checks the ICs themselves).
+            newly = active & (mass_in > p.alias_threshold) & (s.n_steps > 0)
+            adv = dataclasses.replace(
+                s,
+                psik=(qr2, qi2),
+                time=t,
+                tau=tau,
+                a=a,
+                n_steps=s.n_steps + 1,
+                just_dumped=is_dump,
+                phi_max=phi_max.astype(self.tdtype),
+                pending_k=kcoeff,
+            )
+            if batched:
+                # steady state = every stream advancing: skip the full-grid
+                # select blend (reads 2 grids + writes 1 per leaf) entirely
+                advance = active & ~newly
+                out = jax.lax.cond(
+                    jnp.all(advance),
+                    lambda: adv,
+                    lambda: self._select(advance, adv, s),
+                )
+            else:
+                out = jax.lax.cond(
+                    (active & ~newly).reshape(()), lambda: adv, lambda: s
+                )
+            return dataclasses.replace(
+                out,
+                aliased=s.aliased | newly,
+                alias_mass=jnp.where(active, mass_in, s.alias_mass),
+                max_norm_err=jnp.where(
+                    active,
+                    self._track_norm(s, None, nrm=nrm_in),
+                    s.max_norm_err,
+                ),
+            )
+
+        return body
+
+    def _evolve_to_next_dump_skewed(
+        self, state: SimState, consts: StepConsts
+    ) -> SimState:
+        """The lagged fused-path evolve loop, skewed by half a pass (see
+        fused_step_3d_skewed). Entry converts psik -> q with one inverse
+        pass; exit re-materializes psi/psik and accounts the final step's
+        norm/alias reductions (which the skew computes one iteration
+        late). Per step the SAME operations run, cyclically rotated, so
+        trajectories equal _evolve_to_next_dump's to rounding; streams
+        that never stepped keep their entry arrays bit-exactly."""
+        from .ops import mxu_fft
+
+        p = self.params
+        finished = state.current_dumps >= p.num_data_dumps
+        batched = state.psi.ndim > p.dims
+        dkd = jnp.asarray(p.dk**p.dims, self.rdtype)
+
+        qr, qi = mxu_fft.skew_enter(state.psik, p.dims)
+        n_steps0 = state.n_steps
+        carrier = dataclasses.replace(state, psik=(qr, qi))
+
+        def cond(s: SimState):
+            return jnp.any(self._active(s, finished))
+
+        final = jax.lax.while_loop(
+            cond, self._make_skew_body(consts, finished, batched), carrier
+        )
+
+        fqr, fqi = final.psik
+        psi, psik, ns, am = mxu_fft.skew_exit(
+            fqr,
+            fqi,
+            consts.spec_axis0,
+            consts.spec_axis12,
+            final.pending_k,
+            p.k2_cutoff * self.k2_max,
+        )
+        stepped = final.n_steps > n_steps0
+        mass = am * dkd
+        nrm = ns * dkd
+        if batched:
+            gs = self._bcast(stepped)
+            psi = jnp.where(gs, psi, state.psi)
+            psik = jnp.where(gs, psik, state.psik)
+        else:
+            psi, psik = jax.lax.cond(
+                stepped.reshape(()),
+                lambda: (psi, psik),
+                lambda: (state.psi, state.psik),
+            )
+        return dataclasses.replace(
+            final,
+            psi=psi,
+            psik=psik,
+            aliased=final.aliased | (stepped & (mass > p.alias_threshold)),
+            alias_mass=jnp.where(stepped, mass, final.alias_mass),
+            max_norm_err=jnp.where(
+                stepped,
+                self._track_norm(final, None, nrm=nrm),
+                final.max_norm_err,
+            ),
+            pending_k=jnp.zeros_like(final.pending_k),
+        )
+
     def _active(self, state: SimState, finished):
         return ~(state.just_dumped | state.aliased | finished)
 
@@ -798,6 +968,8 @@ class Stepper:
         under shard_map with collectives inside the body.
         """
         consts = consts if consts is not None else self.consts
+        if self.skew:
+            return self._evolve_to_next_dump_skewed(state, consts)
         finished = state.current_dumps >= self.params.num_data_dumps
         batched = state.psi.ndim > self.params.dims
 
@@ -805,10 +977,14 @@ class Stepper:
             return jnp.any(self._active(s, finished))
 
         if batched:
-            # per-stream freeze: blend advanced and frozen streams
+            # per-stream freeze: blend advanced and frozen streams — but in
+            # the steady state every stream is active, so a scalar cond
+            # skips the full-grid select traffic on those iterations
             def body(s: SimState):
-                return self._select(
-                    self._active(s, finished), self._step(s, consts), s
+                mask = self._active(s, finished)
+                new = self._step(s, consts)
+                return jax.lax.cond(
+                    jnp.all(mask), lambda: new, lambda: self._select(mask, new, s)
                 )
         else:
             # single stream: the loop condition already guarantees activity,
@@ -881,6 +1057,34 @@ class Stepper:
 
     def step(self, state: SimState) -> SimState:
         return self._jit_step(state, self.consts)
+
+    def _chain_n_steps(self, state: SimState, consts: StepConsts, n: int) -> SimState:
+        """Run exactly n steps of the production hot-loop BODY (the same
+        program as _evolve_to_next_dump, with the dump/alias exit replaced
+        by a trip count) — benchmarking helper: the slope between two n
+        values measures the steady-state per-step cost including the loop
+        carrier representation (the skewed path's planar mixed-space q)."""
+        if self.skew:
+            from .ops import mxu_fft
+
+            p = self.params
+            finished = state.current_dumps >= p.num_data_dumps
+            batched = state.psi.ndim > p.dims
+            qr, qi = mxu_fft.skew_enter(state.psik, p.dims)
+            body = self._make_skew_body(consts, finished, batched)
+            final = jax.lax.fori_loop(
+                0, n, lambda i, s: body(s), dataclasses.replace(state, psik=(qr, qi))
+            )
+            fqr, fqi = final.psik
+            psi, psik, _ns, _am = mxu_fft.skew_exit(
+                fqr, fqi, consts.spec_axis0, consts.spec_axis12,
+                final.pending_k, p.k2_cutoff * self.k2_max,
+            )
+            return dataclasses.replace(
+                final, psi=psi, psik=psik,
+                pending_k=jnp.zeros_like(final.pending_k),
+            )
+        return jax.lax.fori_loop(0, n, lambda i, s: self._step(s, consts), state)
 
     def potential(self, psi):
         return self._jit_potential(psi, self.consts)

@@ -107,13 +107,7 @@ def run_kdk_bench(
     # cache). Timing = slope between two trip counts of the same compiled
     # chain, which cancels the dispatch + fetch floor; every call feeds
     # the previous output forward so no two calls are identical.
-    from jax import lax
-
-    chain = jax.jit(
-        lambda s, consts, n: lax.fori_loop(
-            0, n, lambda i, st: stepper._step(st, consts), s
-        )
-    )
+    chain = jax.jit(stepper._chain_n_steps)
 
     n_lo = max(2, steps // 10)
     state = chain(state, stepper.consts, n_lo)  # compile + warm
@@ -326,7 +320,7 @@ def main(args) -> None:
             run_kdk_bench(
                 args.size,
                 args.dims,
-                args.streams,
+                args.streams or 1,
                 args.steps,
                 dt_mode=getattr(args, "dt_mode", "lagged"),
             )

@@ -285,3 +285,62 @@ def test_fused_step_3d_matches_unfused_chain(rng, n, batch):
     np.testing.assert_allclose(
         np.asarray(mx), np.abs(np.asarray(ref_phi)).max(axis=(1, 2, 3)), rtol=5e-4
     )
+
+
+@pytest.mark.parametrize("n,batch", [(128, 2), (256, 1)])
+def test_fused_step_3d_skewed_matches_fused(rng, n, batch):
+    """The skewed 4-pass step (pass A = fwd0 + reductions + kick + inv0 in
+    one kernel, `fused_step_3d_skewed`) is the 5-pass step cyclically
+    rotated: entering via skew_enter and leaving via skew_exit must
+    reproduce fused_step_3d's outputs, with pass A's reductions describing
+    the INPUT psik and skew_exit's the output."""
+    psik = (
+        rng.standard_normal((batch, n, n, n))
+        + 1j * rng.standard_normal((batch, n, n, n))
+    ).astype(np.complex64)
+    k1d = np.square(2.0 * np.pi * np.fft.fftfreq(n, d=1.0 / n)).astype(np.float32)
+    s1d = np.take(k1d, mxu_fft.engine_perm(n))
+    s0 = s1d
+    s12 = (s1d[:, None] + s1d[None, :]).reshape(-1)
+    spec_e = s1d[:, None, None] + s1d[None, :, None] + s1d[None, None, :]
+    kcoeff = np.asarray([1.5, -0.5][:batch], np.float32) / np.float32(3 * k1d.max())
+    vcoeff = np.asarray([-2e-3, 1e-3][:batch], np.float32)
+    pois, cut, pref = 0.7, float(0.5 * spec_e.max()), 2.0
+
+    ref_psi, ref_psik, ref_ns, ref_am, ref_mx = mxu_fft.fused_step_3d(
+        jnp.asarray(psik), jnp.asarray(s0), jnp.asarray(s12),
+        jnp.asarray(kcoeff), jnp.asarray(vcoeff), pois, cut, pref,
+    )
+
+    qr, qi = mxu_fft.skew_enter(jnp.asarray(psik), 3)
+    qr2, qi2, ns_in, am_in, mx = mxu_fft.fused_step_3d_skewed(
+        qr, qi, jnp.asarray(s0), jnp.asarray(s12),
+        jnp.asarray(kcoeff), jnp.asarray(vcoeff), pois, cut, pref,
+    )
+    # pass A's reductions are of the INPUT spectrum
+    p2_in = np.abs(psik) ** 2
+    np.testing.assert_allclose(
+        np.asarray(ns_in), p2_in.sum(axis=(1, 2, 3)), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(am_in), (p2_in * (spec_e > cut)).sum(axis=(1, 2, 3)), rtol=1e-3
+    )
+    np.testing.assert_allclose(np.asarray(mx), np.asarray(ref_mx), rtol=2e-4)
+
+    pending = np.zeros(batch, np.float32)
+    psi_out, psik_out, ns_out, am_out = mxu_fft.skew_exit(
+        qr2, qi2, jnp.asarray(s0), jnp.asarray(s12), jnp.asarray(pending), cut
+    )
+    np.testing.assert_allclose(
+        np.asarray(psik_out), np.asarray(ref_psik), atol=3e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(psi_out),
+        np.asarray(mxu_fft.inverse_engine(ref_psik, 3)),
+        atol=3e-4,
+    )
+    p2 = np.abs(np.asarray(ref_psik)) ** 2
+    np.testing.assert_allclose(np.asarray(ns_out), p2.sum(axis=(1, 2, 3)), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(am_out), (p2 * (spec_e > cut)).sum(axis=(1, 2, 3)), rtol=1e-3
+    )

@@ -372,3 +372,191 @@ def test_fused_phase_stepper_equivalence_expanding():
     np.testing.assert_allclose(np.asarray(s.psi), np.asarray(s_ref.psi), atol=1e-13)
     assert float(s.a) == pytest.approx(float(s_ref.a), rel=1e-14)
     assert float(s.tau) == pytest.approx(float(s_ref.tau), rel=1e-11)
+
+
+def _skew_params(**kw):
+    """3-D mxu-size params tuned so each dump interval takes a FEW steps
+    (the skewed loop's steady state) without making interpret-mode tests
+    slow: total_mass is small enough that dt stays kinetic-bound
+    (total_mass=1e11 makes it potential-bound at ~580 steps/interval),
+    and the dump spacing is ~2.5 kinetic CFL bounds."""
+    kw.setdefault("total_mass", 1e8)
+    p0 = _params(dims=3, size=128, cfl=0.5, **kw)
+    st0 = Stepper(p0, jnp.complex128)
+    dt_k = p0.cfl * 2.0 * p0.axis_length / (math.sqrt(st0.k2_max) * p0.hbar_)
+    dumps = kw.pop("num_data_dumps", 2)
+    kw.pop("final_sim_time", None)
+    return _params(
+        dims=3,
+        size=128,
+        cfl=0.5,
+        num_data_dumps=dumps,
+        final_sim_time=dumps * 2.5 * dt_k,
+        **kw,
+    )
+
+
+def test_skewed_evolve_equivalence_3d():
+    """The skewed evolve loop (planar mixed-space while_loop carrier;
+    step i's closing axis-0 forward fused with step i+1's opening kinetic
+    kick + axis-0 inverse — stepper.skew) must reproduce the unskewed
+    fused path dump for dump: fields, manifest scalars, step counts, and
+    the one-iteration-late alias/norm accounting."""
+    p = _skew_params(num_data_dumps=2)
+    psi0 = np.asarray(ics.build_ics(p))
+    psib = np.stack([psi0, np.roll(psi0, 7, axis=0)])
+
+    fft.set_default_mode("mxu")
+    try:
+        st_a = Stepper(p, jnp.complex128, dt_mode="lagged", debug_checks=True)
+        assert st_a.skew
+        st_b = Stepper(p, jnp.complex128, dt_mode="lagged", debug_checks=True)
+        st_b.skew = False
+        sa = st_a.init_state(psib)
+        sb = st_b.init_state(psib)
+        for _ in range(2):
+            sa = st_a.snap_after_dump(st_a.evolve_to_next_dump(sa))
+            sb = st_b.snap_after_dump(st_b.evolve_to_next_dump(sb))
+            np.testing.assert_array_equal(
+                np.asarray(sa.n_steps), np.asarray(sb.n_steps)
+            )
+            assert int(np.asarray(sa.n_steps).min()) >= 3  # real steady state
+            np.testing.assert_allclose(
+                np.asarray(sa.psi), np.asarray(sb.psi), atol=1e-12
+            )
+            np.testing.assert_allclose(
+                np.asarray(sa.psik), np.asarray(sb.psik), atol=1e-12
+            )
+            np.testing.assert_allclose(
+                np.asarray(sa.time), np.asarray(sb.time), rtol=1e-12
+            )
+            np.testing.assert_allclose(
+                np.asarray(sa.alias_mass),
+                np.asarray(sb.alias_mass),
+                rtol=1e-8,
+                atol=1e-18,
+            )
+            np.testing.assert_allclose(
+                np.asarray(sa.phi_max), np.asarray(sb.phi_max), rtol=1e-10
+            )
+            # both are f64 rounding noise (~1e-13) accumulated in different
+            # orders — assert same magnitude class, not equality
+            np.testing.assert_allclose(
+                np.asarray(sa.max_norm_err),
+                np.asarray(sb.max_norm_err),
+                atol=1e-12,
+            )
+            assert float(jnp.abs(sa.pending_k).max()) == 0.0
+    finally:
+        fft.set_default_mode("xla")
+
+
+def test_skewed_evolve_alias_freeze():
+    """Per-stream alias freeze under the skew: the reductions are computed
+    one iteration late and the extra iteration's work is discarded, so a
+    stream whose step aliased must freeze in exactly the unskewed state
+    (reference semantics: the aliased update completes, then the stream
+    stops; simulation_object.rs:607-617)."""
+    p = _skew_params(num_data_dumps=1, alias_threshold=1e-7)
+    psi0 = np.asarray(ics.build_ics(p))
+    # stream 2: enough mass in the 3-axis Nyquist mode (k^2 = k2_max, above
+    # the 0.95 cutoff) to trip the tiny threshold on its first step
+    # (|psik| is kick-invariant, so the mass persists)
+    sgn = (-1.0) ** (
+        np.arange(p.size)[:, None, None]
+        + np.arange(p.size)[None, :, None]
+        + np.arange(p.size)[None, None, :]
+    )
+    noisy = psi0 + 2e-3 * psi0.std() * sgn
+    noisy /= math.sqrt((np.abs(noisy) ** 2).sum() * p.dx**3)
+    psib = np.stack([psi0, noisy])
+
+    fft.set_default_mode("mxu")
+    try:
+        st_a = Stepper(p, jnp.complex128, dt_mode="lagged")
+        assert st_a.skew
+        st_b = Stepper(p, jnp.complex128, dt_mode="lagged")
+        st_b.skew = False
+        sa = st_a.evolve_to_next_dump(st_a.init_state(psib))
+        sb = st_b.evolve_to_next_dump(st_b.init_state(psib))
+    finally:
+        fft.set_default_mode("xla")
+
+    np.testing.assert_array_equal(np.asarray(sa.aliased), np.asarray(sb.aliased))
+    assert bool(np.asarray(sa.aliased)[1]) and not bool(np.asarray(sa.aliased)[0])
+    # the aliased stream froze after ONE completed step in both paths
+    np.testing.assert_array_equal(np.asarray(sa.n_steps), np.asarray(sb.n_steps))
+    assert int(np.asarray(sa.n_steps)[1]) == 1
+    # the healthy stream materializes identically
+    np.testing.assert_allclose(
+        np.asarray(sa.psi)[0], np.asarray(sb.psi)[0], atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(sa.psik)[0], np.asarray(sb.psik)[0], atol=1e-12
+    )
+    # the UNSKEWED path leaves an aliased-frozen stream unmaterialized
+    # (stale psi, the closing half-kick still deferred in pending_k); the
+    # skew exit materializes every stream. Same state up to that kick:
+    from msm_tpu.ops import mxu_fft
+
+    spec_e = np.asarray(st_b.consts.spec_grid)  # engine order under mxu
+    assert float(np.asarray(sb.pending_k)[1]) != 0.0
+    psik_b1 = np.asarray(sb.psik)[1] * np.exp(
+        1j * float(np.asarray(sb.pending_k)[1]) * spec_e
+    )
+    np.testing.assert_allclose(np.asarray(sa.psik)[1], psik_b1, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(sa.psi)[1],
+        np.asarray(mxu_fft.inverse_engine(jnp.asarray(psik_b1), 3)),
+        atol=1e-12,
+    )
+    assert float(np.abs(np.asarray(sa.pending_k)).max()) == 0.0
+    # the healthy stream's mass is rounding dust (~1e-35) — atol covers it
+    np.testing.assert_allclose(
+        np.asarray(sa.alias_mass), np.asarray(sb.alias_mass), rtol=1e-8, atol=1e-18
+    )
+
+
+def test_skewed_evolve_equivalence_expanding():
+    """Expanding-mode skew: the scalar advance (double half-kick with the
+    RK4 scale-factor midpoint) must match the unskewed fused expanding
+    step across a dump interval."""
+    from msm_tpu.constants import LITTLE_H_TO_BIG_H, POIS_CONST
+
+    hbar_, h, z0 = 0.01, 0.5, 19.0
+    cosmo = cfg.CosmologyConfig(
+        omega_matter_now=1.0, omega_radiation_now=0.0, h=h, z0=z0, max_dloga=0.005
+    )
+    h0 = h * LITTLE_H_TO_BIG_H
+    box_sc = 100.0
+    L_p = box_sc / math.sqrt(math.sqrt(1.5 * h0**2) / hbar_) / (1.0 + z0)
+    total_mass = box_sc**3 * hbar_**1.5 / (POIS_CONST * (2.0 / (3.0 * h0**2)) ** 0.25)
+    p = _params(
+        dims=3,
+        size=128,
+        L=L_p,
+        hbar_=hbar_,
+        total_mass=total_mass,
+        final_sim_time=0.8,  # ~4 steps to the dump (dtau CFL-bound)
+        num_data_dumps=2,
+        cosmology=cosmo,
+    )
+    assert p.expanding
+    psi0 = np.asarray(ics.build_ics(p))
+
+    fft.set_default_mode("mxu")
+    try:
+        st_a = Stepper(p, jnp.complex128, dt_mode="lagged")
+        assert st_a.skew
+        st_b = Stepper(p, jnp.complex128, dt_mode="lagged")
+        st_b.skew = False
+        sa = st_a.snap_after_dump(st_a.evolve_to_next_dump(st_a.init_state(psi0)))
+        sb = st_b.snap_after_dump(st_b.evolve_to_next_dump(st_b.init_state(psi0)))
+    finally:
+        fft.set_default_mode("xla")
+
+    np.testing.assert_array_equal(np.asarray(sa.n_steps), np.asarray(sb.n_steps))
+    assert int(np.asarray(sa.n_steps)) >= 2
+    np.testing.assert_allclose(np.asarray(sa.psi), np.asarray(sb.psi), atol=1e-12)
+    assert float(sa.a) == pytest.approx(float(sb.a), rel=1e-14)
+    assert float(sa.tau) == pytest.approx(float(sb.tau), rel=1e-11)
