@@ -305,6 +305,21 @@ def determine_pmass_hbar(toml: TomlParameters) -> tuple[float, float]:
             "hbar_ in addition to one of the first two to change the value of "
             "Planck's constant itself."
         )
+    # Implausible resolved hbar_ (e.g. particle_mass given in the wrong
+    # units with no explicit hbar_) makes the kick phase dt/hbar_ overflow
+    # f32 — observed to FAULT the TPU worker (a 5-minute chip-grant
+    # cooldown), not just produce NaNs. Warn early; the reference resolves
+    # silently and produces garbage (`parameters.rs:222-259`).
+    if not (1e-30 < hbar_ < 1e6):
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "resolved hbar_ = %.3e is outside the sane range (1e-30, 1e6): "
+            "kick phase angles ~dt/hbar_ will overflow float32. Check that "
+            "total_mass/ntot/particle_mass/hbar_ use kpc-Msun-Myr units "
+            "(did you mean to set hbar_ explicitly?)",
+            hbar_,
+        )
     return particle_mass, hbar_
 
 
