@@ -414,3 +414,56 @@ def test_interval_block_matches_single(tmp_path, monkeypatch):
         mb = json.load(open(os.path.join(roots["3"], d, "manifest.json")))
         ma.pop("wall_time_ms"), mb.pop("wall_time_ms")
         assert ma == mb
+
+
+def test_skewed_production_path_matches_unskewed(tmp_path, monkeypatch):
+    """The production driver path (interval-blocked evolve + dump/manifest
+    writing) over the SKEWED loop (stepper.skew, docs/DESIGN.md §8f)
+    matches MSM_SKEW_STEP=0 dump for dump. The stepper-level equivalence
+    tests cover the loop itself; this guards the simulator integration
+    (evolve_intervals scan payloads, dump extraction, manifests)."""
+    import json
+
+    from msm_tpu.ops import fft
+
+    toml = cfg.parse_toml_str(
+        """
+axis_length = 30
+final_sim_time = 65.0
+cfl = 0.5
+num_data_dumps = 1
+total_mass = 1e8
+hbar_ = 0.05
+sim_name = "skewprod"
+k2_cutoff = 0.95
+alias_threshold = 0.5
+dims = 3
+size = 128
+
+[ics]
+type = "SphericalTophat"
+radius = 5.0
+slope = 50
+delta = 10
+"""
+    )
+    roots = {}
+    fft.set_default_mode("mxu")
+    try:
+        for skew in ("1", "0"):
+            monkeypatch.setenv("MSM_SKEW_STEP", skew)
+            roots[skew] = str(tmp_path / f"skew{skew}")
+            simulator.run_config(
+                toml, dtype=jnp.complex128, data_root=roots[skew], dt_mode="lagged"
+            )
+    finally:
+        fft.set_default_mode("xla")
+    for i in range(2):
+        a = load_complex_pair(os.path.join(roots["1"], "skewprod", f"psi_{i:05d}"))
+        b = load_complex_pair(os.path.join(roots["0"], "skewprod", f"psi_{i:05d}"))
+        np.testing.assert_allclose(a, b, atol=1e-12)
+    ma = json.load(open(os.path.join(roots["1"], "skewprod", "manifest.json")))
+    mb = json.load(open(os.path.join(roots["0"], "skewprod", "manifest.json")))
+    ma.pop("wall_time_ms"), mb.pop("wall_time_ms")
+    assert ma["n_steps"] == mb["n_steps"] >= 3
+    assert ma == mb
