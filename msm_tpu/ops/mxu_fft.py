@@ -55,8 +55,9 @@ _LANE_ROWS = 256
 # Lane-block width for the sublane kernel (multiple of LEAF). Wider blocks
 # give the MXU a larger free dimension per matmul instruction and cut the
 # grid's block count (fewer pipeline stalls) at the cost of VMEM. Measured
-# on v5e at 256^3: 256-512 is flat-optimal, 128 costs ~6%, >=1024 regresses.
-_SUBLANE_LANES = 512
+# on v5e at 256^3: 256-512 is flat-optimal, 128 costs ~6%, >=1024 regresses
+# (single passes; MSM_SUBLANE_LANES overrides for tuning probes).
+_SUBLANE_LANES = int(__import__("os").environ.get("MSM_SUBLANE_LANES", "512"))
 
 # MXU precision for the DFT matmuls. HIGHEST = 6-pass bf16 decomposition
 # (exact f32). 'bf16x3' is a hand-rolled 3-pass split (Mosaic does not
