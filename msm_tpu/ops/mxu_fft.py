@@ -58,6 +58,12 @@ _LANE_ROWS = 256
 # on v5e at 256^3: 256-512 is flat-optimal, 128 costs ~6%, >=1024 regresses
 # (single passes; MSM_SUBLANE_LANES overrides for tuning probes).
 _SUBLANE_LANES = int(__import__("os").environ.get("MSM_SUBLANE_LANES", "512"))
+if _SUBLANE_LANES <= 0 or _SUBLANE_LANES % LEAF:
+    # a non-multiple would make _sublane_view's width search loop forever
+    raise ValueError(
+        f"MSM_SUBLANE_LANES must be a positive multiple of {LEAF}; "
+        f"got {_SUBLANE_LANES}"
+    )
 
 # MXU precision for the DFT matmuls. HIGHEST = 6-pass bf16 decomposition
 # (exact f32). 'bf16x3' is a hand-rolled 3-pass split (Mosaic does not

@@ -635,15 +635,13 @@ class Stepper:
 
     def _step_static(self, state: SimState, consts: StepConsts) -> SimState:
         """One static-space KDK step (update, :475-661)."""
-        p, hbar_ = self.params, self.params.hbar_
+        p = self.params
 
-        if self.dt_mode == "exact":
-            phi = self._potential(state.psi, consts)
-            dt, is_dump = self._timestep(phi, state, consts)
-        else:
-            dt, is_dump = self._timestep(None, state, consts)
-        kcoeff = (-dt / 4.0 * hbar_).astype(self.rdtype)
-        vcoeff = (-dt / hbar_).astype(self.rdtype)
+        phi0 = self._potential(state.psi, consts) if self.dt_mode == "exact" else None
+        _dt, is_dump, kcoeff, vcoeffs, time, _tau, _a = self._scalar_advance(
+            state, consts, phi0
+        )
+        vcoeff = vcoeffs[0]
 
         # Half kick in k-space: exp(-i * dt/4 * hbar_ * k^2) (:504-516),
         # merged with any half-kick deferred by the previous step (lagged);
@@ -682,7 +680,6 @@ class Stepper:
             psik, state.psi, is_dump, kcoeff, consts
         )
 
-        time = state.time + dt
         aliased = state.aliased | (alias_mass > p.alias_threshold)
 
         return dataclasses.replace(
@@ -707,27 +704,17 @@ class Stepper:
         physical time) advanced by dtau/2 between them (:726-760).
         """
         p = self.params
-        c = p.cosmology
 
-        if self.dt_mode == "exact":
-            phi = self._potential(state.psi, consts)
-            dtau, is_dump = self._timestep(phi, state, consts)
-        else:
-            dtau, is_dump = self._timestep(None, state, consts)
-        kcoeff = (-dtau / 4.0).astype(self.rdtype)
-
+        phi0 = self._potential(state.psi, consts) if self.dt_mode == "exact" else None
         # Both half-kicks rotate by the SAME phi (only the a-dependent
         # coefficient differs), so on the fused path they collapse to one
         # rotation exp(i*(v1+v2)*phi) inside the forward transform. The
         # scale-factor advance depends only on dtau, so vtot is known
         # before the grid work and the whole interior fuses (static-step
         # comment above).
-        a, t, tau = state.a, state.time, state.tau
-        vcoeffs = []
-        for _ in range(2):
-            vcoeffs.append(((-dtau / 2.0) * a).astype(self.rdtype))
-            a, t = cosmo_mod.advance_a_t_by_dtau(a, t, dtau / 2.0, c)
-            tau = tau + dtau / 2.0
+        _dt, is_dump, kcoeff, vcoeffs, t, tau, a = self._scalar_advance(
+            state, consts, phi0
+        )
 
         if self.fuse_phases:
             from .ops import mxu_fft
@@ -782,25 +769,33 @@ class Stepper:
     # Dump-to-dump evolution (the jitted hot loop)
     # ------------------------------------------------------------------
 
-    def _skew_scalar_advance(self, state: SimState, consts: StepConsts):
-        """Per-step scalar bookkeeping for the skewed loop: adaptive
-        dt/dtau (lagged — from the carried max|phi|), dump flag, kick
-        coefficients and the advanced time/tau/a. Mirrors the scalar
-        prologue of _step_static / _step_expanding exactly."""
+    def _scalar_advance(self, state: SimState, consts: StepConsts, phi=None):
+        """The step's scalar prologue, shared by _step_static,
+        _step_expanding and the skewed loop body: adaptive dt/dtau (from
+        `phi` in exact mode, the carried max|phi| when None), dump flag,
+        kick coefficients and the advanced time/tau/a.
+
+        Static: kcoeff = -dt/4*hbar_, one potential kick -dt/hbar_
+        (update :504-516, :535-545). Expanding: kcoeff = -dtau/4 (no
+        hbar_, :699-706) and TWO half-kicks -dtau/2*a with the scale
+        factor advanced by RK4 between them (:726-760) — returned as the
+        `vcoeffs` list (summable on the fused path since both rotate by
+        the same phi).
+        """
         p = self.params
-        dt, is_dump = self._timestep(None, state, consts)
+        dt, is_dump = self._timestep(phi, state, consts)
         if p.expanding:
             kcoeff = (-dt / 4.0).astype(self.rdtype)
             a, t, tau = state.a, state.time, state.tau
-            vtot = jnp.zeros_like(kcoeff)
+            vcoeffs = []
             for _ in range(2):
-                vtot = vtot + ((-dt / 2.0) * a).astype(self.rdtype)
+                vcoeffs.append(((-dt / 2.0) * a).astype(self.rdtype))
                 a, t = cosmo_mod.advance_a_t_by_dtau(a, t, dt / 2.0, p.cosmology)
                 tau = tau + dt / 2.0
-            return is_dump, kcoeff, vtot, t, tau, a
+            return dt, is_dump, kcoeff, vcoeffs, t, tau, a
         kcoeff = (-dt / 4.0 * p.hbar_).astype(self.rdtype)
-        vcoeff = (-dt / p.hbar_).astype(self.rdtype)
-        return is_dump, kcoeff, vcoeff, state.time + dt, state.tau, state.a
+        vcoeffs = [(-dt / p.hbar_).astype(self.rdtype)]
+        return dt, is_dump, kcoeff, vcoeffs, state.time + dt, state.tau, state.a
 
     def _make_skew_body(self, consts: StepConsts, finished, batched: bool):
         """The skewed evolve-loop body (see _evolve_to_next_dump_skewed).
@@ -815,9 +810,10 @@ class Stepper:
 
         def body(s: SimState) -> SimState:
             active = self._active(s, finished)
-            is_dump, kcoeff, vcoeff, t, tau, a = self._skew_scalar_advance(
+            _dt, is_dump, kcoeff, vcoeffs, t, tau, a = self._scalar_advance(
                 s, consts
             )
+            vcoeff = sum(vcoeffs[1:], vcoeffs[0])
             sqr, sqi = s.psik
             qr2, qi2, ns, am, phi_max = mxu_fft.fused_step_3d_skewed(
                 sqr,
@@ -894,52 +890,57 @@ class Stepper:
         batched = state.psi.ndim > p.dims
         dkd = jnp.asarray(p.dk**p.dims, self.rdtype)
 
-        qr, qi = mxu_fft.skew_enter(state.psik, p.dims)
-        n_steps0 = state.n_steps
-        carrier = dataclasses.replace(state, psik=(qr, qi))
-
         def cond(s: SimState):
             return jnp.any(self._active(s, finished))
 
-        final = jax.lax.while_loop(
-            cond, self._make_skew_body(consts, finished, batched), carrier
-        )
-
-        fqr, fqi = final.psik
-        psi, psik, ns, am = mxu_fft.skew_exit(
-            fqr,
-            fqi,
-            consts.spec_axis0,
-            consts.spec_axis12,
-            final.pending_k,
-            p.k2_cutoff * self.k2_max,
-        )
-        stepped = final.n_steps > n_steps0
-        mass = am * dkd
-        nrm = ns * dkd
-        if batched:
-            gs = self._bcast(stepped)
-            psi = jnp.where(gs, psi, state.psi)
-            psik = jnp.where(gs, psik, state.psik)
-        else:
-            psi, psik = jax.lax.cond(
-                stepped.reshape(()),
-                lambda: (psi, psik),
-                lambda: (state.psi, state.psik),
+        def evolve() -> SimState:
+            qr, qi = mxu_fft.skew_enter(state.psik, p.dims)
+            n_steps0 = state.n_steps
+            carrier = dataclasses.replace(state, psik=(qr, qi))
+            final = jax.lax.while_loop(
+                cond, self._make_skew_body(consts, finished, batched), carrier
             )
-        return dataclasses.replace(
-            final,
-            psi=psi,
-            psik=psik,
-            aliased=final.aliased | (stepped & (mass > p.alias_threshold)),
-            alias_mass=jnp.where(stepped, mass, final.alias_mass),
-            max_norm_err=jnp.where(
-                stepped,
-                self._track_norm(final, None, nrm=nrm),
-                final.max_norm_err,
-            ),
-            pending_k=jnp.zeros_like(final.pending_k),
-        )
+
+            fqr, fqi = final.psik
+            psi, psik, ns, am = mxu_fft.skew_exit(
+                fqr,
+                fqi,
+                consts.spec_axis0,
+                consts.spec_axis12,
+                final.pending_k,
+                p.k2_cutoff * self.k2_max,
+            )
+            stepped = final.n_steps > n_steps0
+            mass = am * dkd
+            nrm = ns * dkd
+            if batched:
+                gs = self._bcast(stepped)
+                psi = jnp.where(gs, psi, state.psi)
+                psik = jnp.where(gs, psik, state.psik)
+            else:
+                psi, psik = jax.lax.cond(
+                    stepped.reshape(()),
+                    lambda: (psi, psik),
+                    lambda: (state.psi, state.psik),
+                )
+            return dataclasses.replace(
+                final,
+                psi=psi,
+                psik=psik,
+                aliased=final.aliased | (stepped & (mass > p.alias_threshold)),
+                alias_mass=jnp.where(stepped, mass, final.alias_mass),
+                max_norm_err=jnp.where(
+                    stepped,
+                    self._track_norm(final, None, nrm=nrm),
+                    final.max_norm_err,
+                ),
+                pending_k=jnp.zeros_like(final.pending_k),
+            )
+
+        # No-op intervals (every stream dumped/aliased/finished — e.g. the
+        # trailing rows of the interval-blocked scan) must stay free: skip
+        # the enter/exit passes entirely and return the state bit-exactly.
+        return jax.lax.cond(cond(state), evolve, lambda: state)
 
     def _active(self, state: SimState, finished):
         return ~(state.just_dumped | state.aliased | finished)
