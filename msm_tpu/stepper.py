@@ -263,6 +263,12 @@ class Stepper:
         # dispatch round-trips a remote compile per op, so the driver path
         # must consist solely of compiled calls + host transfers.
         self._jit_step = jax.jit(self._step)
+        # NB: the evolve entry points deliberately do NOT donate the input
+        # state — the driver's speculative interval dispatch re-reads it
+        # (simulator.run_single), and run_single returns it. Consequence:
+        # ~2 full states stay resident per dispatch, so 512^3 ensembles
+        # need >= 2 chips (stream-sharded mesh); one v5e holds one 512^3
+        # stream's working set.
         self._jit_evolve = jax.jit(self._evolve_to_next_dump)
         self._interval_jits: dict = {}
         self._jit_potential = jax.jit(self._potential)
