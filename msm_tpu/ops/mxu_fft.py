@@ -1653,6 +1653,212 @@ def fused_step_3d_skewed(
     return qr2, qi2, ns, am, phi_max
 
 
+def _fused_kernel_inv_density_rho_only(
+    xr_ref, xi_ref, wi_ref, wf_ref, dr_ref, di_ref,
+    sr_ref, si_ref, *, R, prefactor, precision, pprecision,
+):
+    """`_fused_kernel_inv_density` minus the psi writes: the inverse's
+    output field is consumed in-register by the density synthesis only.
+    Used by the exact-dt skew prefix, where psi(t) is needed solely as
+    rho = prefactor*|psi|^2 for the adaptive-dt potential (get_timestep
+    :878-934) and never has to exist in HBM."""
+    iphases = _radix_phases(R, inverse=True)
+    fphases = _radix_phases(R, inverse=False)
+    inv_sqrt_r = 1.0 / math.sqrt(R)
+    u = [
+        _cmatmul_t(
+            wi_ref[r, 0],
+            wi_ref[r, 1],
+            xr_ref[0, r * LEAF : (r + 1) * LEAF, :],
+            xi_ref[0, r * LEAF : (r + 1) * LEAF, :],
+            precision,
+        )
+        for r in range(R)
+    ]
+    combined = _butterfly(u, iphases, inv_sqrt_r)
+    for a in range(R):
+        sr_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][0]
+        si_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][1]
+    u = [
+        _cmatmul(
+            sr_ref[:, r * LEAF : (r + 1) * LEAF],
+            si_ref[:, r * LEAF : (r + 1) * LEAF],
+            wi_ref[r, 0],
+            wi_ref[r, 1],
+            precision,
+        )
+        for r in range(R)
+    ]
+    combined = _butterfly(u, iphases, inv_sqrt_r)
+    rho_chunks = [
+        prefactor * (pre * pre + pim * pim) for pre, pim in combined
+    ]
+    for r, yre, yim in _real_fwd_lane_stage(
+        rho_chunks, fphases, inv_sqrt_r, wf_ref, pprecision
+    ):
+        sr_ref[:, r * LEAF : (r + 1) * LEAF] = yre
+        si_ref[:, r * LEAF : (r + 1) * LEAF] = yim
+    chunks = [
+        (sr_ref[a * LEAF : (a + 1) * LEAF, :], si_ref[a * LEAF : (a + 1) * LEAF, :])
+        for a in range(R)
+    ]
+    s = _butterfly(chunks, fphases, inv_sqrt_r)
+    for r in range(R):
+        yre, yim = _cmatmul_t(wf_ref[r, 0], wf_ref[r, 1], s[r][0], s[r][1], pprecision)
+        dr_ref[0, r * LEAF : (r + 1) * LEAF, :] = yre
+        di_ref[0, r * LEAF : (r + 1) * LEAF, :] = yim
+
+
+def _axis_pass_fused2_inv_density_rho_only(xr, xi, prefactor: float):
+    """One-pass fused2 inverse + in-register density forward, emitting
+    ONLY the transformed density (psi never written). Returns
+    (rhoT_re, rhoT_im)."""
+    size = xr.shape[-1]
+    assert xr.shape[-2] == size
+    R = size // LEAF
+    wi = jnp.asarray(_matrices(size, True, xr.dtype.name))
+    wf = jnp.asarray(_matrices(size, False, xr.dtype.name))
+    lead = xr.shape[:-2]
+    m = int(np.prod(lead)) if lead else 1
+    spec = pl.BlockSpec((1, size, size), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(
+        (R, 2, LEAF, LEAF), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    kern = functools.partial(
+        _fused_kernel_inv_density_rho_only,
+        R=R,
+        prefactor=float(prefactor),
+        precision=_precision(),
+        pprecision=_precision_poisson(),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(m,),
+        in_specs=[spec, spec, wspec, wspec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((m, size, size), xr.dtype)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((size, size), xr.dtype),
+            pltpu.VMEM((size, size), xr.dtype),
+        ],
+        compiler_params=_cparams(1),
+        interpret=_interpret(),
+    )(xr.reshape(m, size, size), xi.reshape(m, size, size), wi, wf)
+    shape = lead + (size, size)
+    return out[0].reshape(shape), out[1].reshape(shape)
+
+
+def _fused_kernel_real_inv_max(
+    xr_ref, xi_ref, w_ref, mx_ref, sr_ref, si_ref, *, R, precision
+):
+    """`_fused_kernel_real_inv` emitting ONLY max|Re field| partials: the
+    exact-dt prefix needs phi(t) solely for the potential CFL bound
+    max|phi| (get_timestep :905-909), so phi never touches HBM."""
+    phases = _radix_phases(R, inverse=True)
+    inv_sqrt_r = 1.0 / math.sqrt(R)
+    u = [
+        _cmatmul_t(
+            w_ref[r, 0],
+            w_ref[r, 1],
+            xr_ref[0, r * LEAF : (r + 1) * LEAF, :],
+            xi_ref[0, r * LEAF : (r + 1) * LEAF, :],
+            precision,
+        )
+        for r in range(R)
+    ]
+    combined = _butterfly(u, phases, inv_sqrt_r)
+    for a in range(R):
+        sr_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][0]
+        si_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][1]
+    u = [
+        _cmatmul(
+            sr_ref[:, r * LEAF : (r + 1) * LEAF],
+            si_ref[:, r * LEAF : (r + 1) * LEAF],
+            w_ref[r, 0],
+            w_ref[r, 1],
+            precision,
+        )
+        for r in range(R)
+    ]
+    mx = None
+    for a in range(R):
+        acc = None
+        for r in range(R):
+            w = phases[a][r]
+            t = _scale_add(u[r][0], w.real, u[r][1], -w.imag)
+            acc = t if acc is None else acc + t
+        bm = jnp.max(jnp.abs(acc * inv_sqrt_r))
+        mx = bm if mx is None else jnp.maximum(mx, bm)
+    mx_ref[...] = jnp.broadcast_to(mx, mx_ref.shape).astype(mx_ref.dtype)
+
+
+def _axis_pass_fused2_real_inv_max(xr, xi):
+    """Fused2 real inverse reduced to per-block max|field| — no grid
+    output. Returns maxes shaped like the leading block axes (flattened)."""
+    size = xr.shape[-1]
+    assert xr.shape[-2] == size
+    R = size // LEAF
+    w = jnp.asarray(_matrices(size, True, xr.dtype.name))
+    lead = xr.shape[:-2]
+    m = int(np.prod(lead)) if lead else 1
+    spec = pl.BlockSpec((1, size, size), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(
+        (R, 2, LEAF, LEAF), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    sspec = pl.BlockSpec((1, 8, LEAF), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    kern = functools.partial(
+        _fused_kernel_real_inv_max, R=R, precision=_precision_poisson()
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(m,),
+        in_specs=[spec, spec, wspec],
+        out_specs=[sspec],
+        out_shape=[jax.ShapeDtypeStruct((m, 8, LEAF), xr.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((size, size), xr.dtype),
+            pltpu.VMEM((size, size), xr.dtype),
+        ],
+        compiler_params=_cparams(1),
+        interpret=_interpret(),
+    )(xr.reshape(m, size, size), xi.reshape(m, size, size), w)
+    return out[0][:, 0, 0]
+
+
+def fused_step_exact_prefix(
+    qr, qi, s0, s12, pending, poisson_coeff: float, prefactor: float
+):
+    """The exact-dt mode's pre-step potential evaluation in FOUR passes on
+    the skewed mixed-space state (the reference solves the potential once
+    at t for dt and once at the drift midpoint for the kick; update :497
+    and :530 — this is the ":497" solve):
+
+      1. axis-0 roundtrip applying the DEFERRED closing kick of the
+         previous step (psi(t) requires it; the opening kick of the new
+         step is applied later by fused_step_3d_skewed once dt is known);
+      2. fused2 inverse of (y,z) with rho = prefactor*|psi|^2 synthesized
+         and forward-transformed in-register — psi(t) never hits HBM;
+      3. one-kernel axis-0 Poisson roundtrip;
+      4. fused2 real inverse reduced to max|phi| partials — phi(t) never
+         hits HBM either.
+
+    Returns (q1_re, q1_im, phi_max) with q1 the pending-kicked mixed-space
+    state (feed it to fused_step_3d_skewed with kcoeff only)."""
+    lead = qr.shape[:-3]
+    n0 = qr.shape[-3]
+    ax0 = qr.ndim - 3
+    qr1, qi1, _ns, _am = _axis_pass_sublane_roundtrip_kick_reduce_sep(
+        qr, qi, ax0, s0, s12, pending, 0.0
+    )
+    dr, di = _axis_pass_fused2_inv_density_rho_only(qr1, qi1, prefactor)
+    dr, di = _axis_pass_sublane_roundtrip_poisson_sep(
+        dr, di, ax0, s0, s12, poisson_coeff
+    )
+    mx = _axis_pass_fused2_real_inv_max(dr, di)
+    phi_max = jnp.max(mx.reshape(lead + (n0,)), axis=-1)
+    return qr1, qi1, phi_max
+
+
 def skew_enter(psik: jnp.ndarray, dims: int):
     """complex psik (engine order) -> planar mixed-space q = F_0^-1[psik]
     (the skewed loop carrier; one sublane pass)."""

@@ -184,15 +184,18 @@ class Stepper:
             and mxu_fft._FUSE2
             and os.environ.get("MSM_FUSE_PHASES", "1") not in ("0", "false")
         )
-        # Skewed evolve loop (lagged fused path only): the while_loop
-        # carries the step's mixed-space pass-4 output as planar f32 and
-        # fuses step i's closing axis-0 forward with step i+1's opening
-        # kinetic kick + axis-0 inverse (mxu_fft.fused_step_3d_skewed) —
-        # psik never exists in HBM in the steady state and the loop
-        # back-edge pays no planar<->complex64 conversion passes.
+        # Skewed evolve loop (fused path): the while_loop carries the
+        # step's mixed-space pass-4 output as planar f32 and fuses step
+        # i's closing axis-0 forward with step i+1's opening kinetic kick
+        # + axis-0 inverse (mxu_fft.fused_step_3d_skewed) — psik never
+        # exists in HBM in the steady state and the loop back-edge pays
+        # no planar<->complex64 conversion passes. Exact-dt mode adds the
+        # four-pass pre-step potential prefix (fused_step_exact_prefix:
+        # psi(t)/phi(t) never in HBM either; 8 passes per step vs the
+        # unskewed ~11 + conversions).
         self.skew = (
             self.fuse_phases
-            and dt_mode == "lagged"
+            and dt_mode in ("lagged", "exact")
             and os.environ.get("MSM_SKEW_STEP", "1") not in ("0", "false")
         )
 
@@ -562,16 +565,20 @@ class Stepper:
         nrm = self._norm_measure(psik) if self.debug_checks else None
         return psik, nrm, self._alias_mass(psik, consts)
 
-    def _timestep(self, phi, state: SimState, consts: StepConsts):
+    def _timestep(self, phi, state: SimState, consts: StepConsts, phi_max=None):
         """Adaptive dt (or dtau): min of kinetic, potential, next-dump.
 
         Static: get_timestep `simulation_object.rs:878-934`;
         expanding: `:939-990` (with the per-step get_tau re-integration
         replaced by the precomputed tau-at-dump table).
-        Returns per-stream (dt, is_dump).
+        Returns per-stream (dt, is_dump). `phi_max` short-circuits the
+        grid reduction when the caller already owns max|phi| (the skewed
+        exact path's in-kernel reduction).
         """
         p = self.params
-        if phi is None:  # lagged mode: previous midpoint max carried in state
+        if phi_max is not None:
+            phi_max = phi_max.astype(self.tdtype)
+        elif phi is None:  # lagged mode: previous midpoint max carried in state
             phi_max = state.phi_max
         else:
             phi_max = self._spatial_max(jnp.abs(phi)).astype(self.tdtype)
@@ -775,11 +782,13 @@ class Stepper:
     # Dump-to-dump evolution (the jitted hot loop)
     # ------------------------------------------------------------------
 
-    def _scalar_advance(self, state: SimState, consts: StepConsts, phi=None):
+    def _scalar_advance(
+        self, state: SimState, consts: StepConsts, phi=None, phi_max=None
+    ):
         """The step's scalar prologue, shared by _step_static,
         _step_expanding and the skewed loop body: adaptive dt/dtau (from
-        `phi` in exact mode, the carried max|phi| when None), dump flag,
-        kick coefficients and the advanced time/tau/a.
+        `phi`/`phi_max` in exact mode, the carried max|phi| when both are
+        None), dump flag, kick coefficients and the advanced time/tau/a.
 
         Static: kcoeff = -dt/4*hbar_, one potential kick -dt/hbar_
         (update :504-516, :535-545). Expanding: kcoeff = -dtau/4 (no
@@ -789,7 +798,7 @@ class Stepper:
         the same phi).
         """
         p = self.params
-        dt, is_dump = self._timestep(phi, state, consts)
+        dt, is_dump = self._timestep(phi, state, consts, phi_max=phi_max)
         if p.expanding:
             kcoeff = (-dt / 4.0).astype(self.rdtype)
             a, t, tau = state.a, state.time, state.tau
@@ -816,17 +825,37 @@ class Stepper:
 
         def body(s: SimState) -> SimState:
             active = self._active(s, finished)
-            _dt, is_dump, kcoeff, vcoeffs, t, tau, a = self._scalar_advance(
-                s, consts
-            )
-            vcoeff = sum(vcoeffs[1:], vcoeffs[0])
             sqr, sqi = s.psik
+            if self.dt_mode == "exact":
+                # Exact dt needs max|phi(t)| of the PRE-step state: the
+                # four-pass prefix applies the deferred closing kick and
+                # evaluates the potential bound without materializing
+                # psi(t) or phi(t) in HBM (the reference's ":497" solve).
+                sqr, sqi, pmax_now = mxu_fft.fused_step_exact_prefix(
+                    sqr,
+                    sqi,
+                    consts.spec_axis0,
+                    consts.spec_axis12,
+                    s.pending_k,
+                    self.poisson_coeff,
+                    self.density_prefactor,
+                )
+                _dt, is_dump, kcoeff, vcoeffs, t, tau, a = self._scalar_advance(
+                    s, consts, phi_max=pmax_now
+                )
+                kick_in = kcoeff  # the prefix already applied pending_k
+            else:
+                _dt, is_dump, kcoeff, vcoeffs, t, tau, a = self._scalar_advance(
+                    s, consts
+                )
+                kick_in = s.pending_k + kcoeff
+            vcoeff = sum(vcoeffs[1:], vcoeffs[0])
             qr2, qi2, ns, am, phi_max = mxu_fft.fused_step_3d_skewed(
                 sqr,
                 sqi,
                 consts.spec_axis0,
                 consts.spec_axis12,
-                s.pending_k + kcoeff,
+                kick_in,
                 vcoeff,
                 self.poisson_coeff,
                 p.k2_cutoff * self.k2_max,
@@ -882,9 +911,10 @@ class Stepper:
     def _evolve_to_next_dump_skewed(
         self, state: SimState, consts: StepConsts
     ) -> SimState:
-        """The lagged fused-path evolve loop, skewed by half a pass (see
-        fused_step_3d_skewed). Entry converts psik -> q with one inverse
-        pass; exit re-materializes psi/psik and accounts the final step's
+        """The fused-path evolve loop, skewed by half a pass (see
+        fused_step_3d_skewed; exact mode prepends fused_step_exact_prefix
+        per iteration). Entry converts psik -> q with one inverse pass;
+        exit re-materializes psi/psik and accounts the final step's
         norm/alias reductions (which the skew computes one iteration
         late). Per step the SAME operations run, cyclically rotated, so
         trajectories equal _evolve_to_next_dump's to rounding; streams

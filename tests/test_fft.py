@@ -2,6 +2,7 @@
 identity and norm preservation for every dims x dtype combination, plus the
 batched leading-axis path the reference doesn't have."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -343,4 +344,60 @@ def test_fused_step_3d_skewed_matches_fused(rng, n, batch):
     np.testing.assert_allclose(np.asarray(ns_out), p2.sum(axis=(1, 2, 3)), rtol=1e-4)
     np.testing.assert_allclose(
         np.asarray(am_out), (p2 * (spec_e > cut)).sum(axis=(1, 2, 3)), rtol=1e-3
+    )
+
+
+def test_exact_prefix_kernel_variants(rng):
+    """The exact-dt prefix's write-light kernel variants (rho-only fused2
+    inverse+density, max-only real inverse) match their full siblings'
+    values, and fused_step_exact_prefix reproduces the explicit
+    pending-kick + poisson_solve max|phi| chain."""
+    n = 128
+    q = (
+        rng.standard_normal((1, n, n, n)) + 1j * rng.standard_normal((1, n, n, n))
+    ).astype(np.complex64)
+    qr = jnp.asarray(q.real)
+    qi = jnp.asarray(q.imag)
+    pref = 2.0
+
+    pr, pi, dr_full, di_full = mxu_fft._axis_pass_fused2_inv_density(qr, qi, pref)
+    dr, di = mxu_fft._axis_pass_fused2_inv_density_rho_only(qr, qi, pref)
+    np.testing.assert_allclose(np.asarray(dr), np.asarray(dr_full), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(di), np.asarray(di_full), atol=1e-5)
+
+    mx = mxu_fft._axis_pass_fused2_real_inv_max(
+        dr.reshape(n, n, n), di.reshape(n, n, n)
+    )
+    fr = np.asarray(mxu_fft._axis_pass_fused2_real((dr, di), inverse=True))
+    np.testing.assert_allclose(
+        np.asarray(mx).max(), np.abs(fr).max(), rtol=1e-5
+    )
+
+    # full prefix vs explicit chain
+    k1d = np.square(2.0 * np.pi * np.fft.fftfreq(n, d=1.0 / n)).astype(np.float32)
+    s1d = np.take(k1d, mxu_fft.engine_perm(n))
+    s0 = jnp.asarray(s1d)
+    s12 = jnp.asarray((s1d[:, None] + s1d[None, :]).reshape(-1))
+    spec_e = s1d[:, None, None] + s1d[None, :, None] + s1d[None, None, :]
+    pending = np.asarray([0.5], np.float32) / np.float32(3 * k1d.max())
+    pois = 0.7
+    qr1, qi1, phi_max = mxu_fft.fused_step_exact_prefix(
+        qr, qi, s0, s12, jnp.asarray(pending), pois, pref
+    )
+    # q1 = inv0(exp(i*pending*k^2) * F0(q)):
+    # axis-0-only roundtrip — transform axis 0, kick with the FULL k^2, invert
+    xr, xi = mxu_fft._axis_pass_sublane(qr, qi, 1, inverse=False)
+    phase = np.exp(1j * pending[0] * spec_e)[None]
+    kicked = (np.asarray(xr) + 1j * np.asarray(xi)) * phase
+    er, ei = mxu_fft._axis_pass_sublane(
+        jnp.asarray(kicked.real), jnp.asarray(kicked.imag), 1, inverse=True
+    )
+    np.testing.assert_allclose(np.asarray(qr1), np.asarray(er), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(qi1), np.asarray(ei), atol=2e-4)
+    # phi_max against the full poisson solve of psi(t) = F2^-1[q1]
+    pmap = np.where(spec_e > 0, -pois / np.where(spec_e > 0, spec_e, 1.0), 0.0)
+    psi_t = jax.lax.complex(*mxu_fft._axis_pass_fused2(qr1, qi1, inverse=True))
+    phi = mxu_fft.poisson_solve(psi_t, 3, pref, jnp.asarray(pmap.astype(np.float32)))
+    np.testing.assert_allclose(
+        float(np.asarray(phi_max)[0]), np.abs(np.asarray(phi)).max(), rtol=1e-4
     )

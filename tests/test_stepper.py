@@ -396,21 +396,23 @@ def _skew_params(**kw):
     )
 
 
-def test_skewed_evolve_equivalence_3d():
+@pytest.mark.parametrize("dtm", ["lagged", "exact"])
+def test_skewed_evolve_equivalence_3d(dtm):
     """The skewed evolve loop (planar mixed-space while_loop carrier;
     step i's closing axis-0 forward fused with step i+1's opening kinetic
-    kick + axis-0 inverse — stepper.skew) must reproduce the unskewed
-    fused path dump for dump: fields, manifest scalars, step counts, and
-    the one-iteration-late alias/norm accounting."""
+    kick + axis-0 inverse — stepper.skew; exact mode adds the four-pass
+    pre-step potential prefix) must reproduce the unskewed fused path
+    dump for dump: fields, manifest scalars, step counts, and the
+    one-iteration-late alias/norm accounting."""
     p = _skew_params(num_data_dumps=2)
     psi0 = np.asarray(ics.build_ics(p))
     psib = np.stack([psi0, np.roll(psi0, 7, axis=0)])
 
     fft.set_default_mode("mxu")
     try:
-        st_a = Stepper(p, jnp.complex128, dt_mode="lagged", debug_checks=True)
+        st_a = Stepper(p, jnp.complex128, dt_mode=dtm, debug_checks=True)
         assert st_a.skew
-        st_b = Stepper(p, jnp.complex128, dt_mode="lagged", debug_checks=True)
+        st_b = Stepper(p, jnp.complex128, dt_mode=dtm, debug_checks=True)
         st_b.skew = False
         sa = st_a.init_state(psib)
         sb = st_b.init_state(psib)
