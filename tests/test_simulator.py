@@ -416,7 +416,8 @@ def test_interval_block_matches_single(tmp_path, monkeypatch):
         assert ma == mb
 
 
-def test_skewed_production_path_matches_unskewed(tmp_path, monkeypatch):
+@pytest.mark.parametrize("dtm", ["lagged", "exact"])
+def test_skewed_production_path_matches_unskewed(tmp_path, monkeypatch, dtm):
     """The production driver path (interval-blocked evolve + dump/manifest
     writing) over the SKEWED loop (stepper.skew, docs/DESIGN.md §8f)
     matches MSM_SKEW_STEP=0 dump for dump. The stepper-level equivalence
@@ -454,7 +455,7 @@ delta = 10
             monkeypatch.setenv("MSM_SKEW_STEP", skew)
             roots[skew] = str(tmp_path / f"skew{skew}")
             simulator.run_config(
-                toml, dtype=jnp.complex128, data_root=roots[skew], dt_mode="lagged"
+                toml, dtype=jnp.complex128, data_root=roots[skew], dt_mode=dtm
             )
     finally:
         fft.set_default_mode("xla")

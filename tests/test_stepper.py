@@ -519,10 +519,11 @@ def test_skewed_evolve_alias_freeze():
     )
 
 
-def test_skewed_evolve_equivalence_expanding():
+@pytest.mark.parametrize("dtm", ["lagged", "exact"])
+def test_skewed_evolve_equivalence_expanding(dtm):
     """Expanding-mode skew: the scalar advance (double half-kick with the
-    RK4 scale-factor midpoint) must match the unskewed fused expanding
-    step across a dump interval."""
+    RK4 scale-factor midpoint; exact mode's pre-step potential prefix)
+    must match the unskewed fused expanding step across a dump interval."""
     from msm_tpu.constants import LITTLE_H_TO_BIG_H, POIS_CONST
 
     hbar_, h, z0 = 0.01, 0.5, 19.0
@@ -548,9 +549,9 @@ def test_skewed_evolve_equivalence_expanding():
 
     fft.set_default_mode("mxu")
     try:
-        st_a = Stepper(p, jnp.complex128, dt_mode="lagged")
+        st_a = Stepper(p, jnp.complex128, dt_mode=dtm)
         assert st_a.skew
-        st_b = Stepper(p, jnp.complex128, dt_mode="lagged")
+        st_b = Stepper(p, jnp.complex128, dt_mode=dtm)
         st_b.skew = False
         sa = st_a.snap_after_dump(st_a.evolve_to_next_dump(st_a.init_state(psi0)))
         sb = st_b.snap_after_dump(st_b.evolve_to_next_dump(st_b.init_state(psi0)))
