@@ -565,11 +565,11 @@ def _sublane_kernel_fwd_reduce_sep(
 def _sublane_kernel_roundtrip_kick_reduce_sep(
     xr_ref, xi_ref, wf_ref, wi_ref, s0_ref, s12_ref,
     f0c_ref, f0s_ref, f12c_ref, f12s_ref,
-    or_ref, oi_ref, ns_ref, as_ref, *, R, cutoff, precision,
+    *out_refs, R, cutoff, precision, with_reduce,
 ):
-    """Cross-STEP fusion kernel: forward transform of axis 0, norm/alias
-    partial sums of the full spectrum, kinetic-kick phase multiply and
-    inverse transform — all in ONE HBM pass.
+    """Cross-STEP fusion kernel: forward transform of axis 0, optional
+    norm/alias partial sums of the full spectrum, kinetic-kick phase
+    multiply and inverse transform — all in ONE HBM pass.
 
     The closing axis-0 forward of step i (update :552) and the opening
     kinetic half-kick + axis-0 inverse of step i+1 (:504-523) are adjacent
@@ -578,7 +578,13 @@ def _sublane_kernel_roundtrip_kick_reduce_sep(
     `fused_step_3d_skewed`). The reductions (check_norm grid.rs:35-64,
     check_alias :1249-1293) and the kick phase both see the full k^2 =
     s0[p0] + s12[j] synthesized from the separable tables; |psik| is
-    invariant under the kick so reduce-then-kick ordering is exact."""
+    invariant under the kick so reduce-then-kick ordering is exact.
+    with_reduce=False drops the partial-sum outputs (the exact-dt prefix
+    only needs the pending-kicked field)."""
+    if with_reduce:
+        or_ref, oi_ref, ns_ref, as_ref = out_refs
+    else:
+        or_ref, oi_ref = out_refs
     fphases = _radix_phases(R, inverse=False)
     iphases = _radix_phases(R, inverse=True)
     inv_sqrt_r = 1.0 / math.sqrt(R)
@@ -596,12 +602,13 @@ def _sublane_kernel_roundtrip_kick_reduce_sep(
     for r in range(R):
         yre, yim = _cmatmul_t(wf_ref[r, 0], wf_ref[r, 1], s[r][0], s[r][1], precision)
         sl = slice(r * LEAF, (r + 1) * LEAF)
-        p2 = yre * yre + yim * yim
-        k2 = s0_ref[sl, :] + s12
-        ns = jnp.sum(p2)
-        am = jnp.sum(jnp.where(k2 > cutoff, p2, 0.0))
-        nsum = ns if nsum is None else nsum + ns
-        asum = am if asum is None else asum + am
+        if with_reduce:
+            p2 = yre * yre + yim * yim
+            k2 = s0_ref[sl, :] + s12
+            ns = jnp.sum(p2)
+            am = jnp.sum(jnp.where(k2 > cutoff, p2, 0.0))
+            nsum = ns if nsum is None else nsum + ns
+            asum = am if asum is None else asum + am
         c0 = f0c_ref[0, sl, :]
         s0v = f0s_ref[0, sl, :]
         pr = c0 * c12 - s0v * sn12
@@ -613,23 +620,24 @@ def _sublane_kernel_roundtrip_kick_reduce_sep(
     for a in range(R):
         or_ref[0, a * LEAF : (a + 1) * LEAF, :] = combined[a][0]
         oi_ref[0, a * LEAF : (a + 1) * LEAF, :] = combined[a][1]
-    ns_ref[...] = jnp.broadcast_to(nsum, ns_ref.shape).astype(ns_ref.dtype)
-    as_ref[...] = jnp.broadcast_to(asum, as_ref.shape).astype(as_ref.dtype)
+    if with_reduce:
+        ns_ref[...] = jnp.broadcast_to(nsum, ns_ref.shape).astype(ns_ref.dtype)
+        as_ref[...] = jnp.broadcast_to(asum, as_ref.shape).astype(as_ref.dtype)
 
 
-def _fused_kernel_inv_density(
-    xr_ref, xi_ref, wi_ref, wf_ref, pr_ref, pi_ref, dr_ref, di_ref,
-    sr_ref, si_ref, *, R, prefactor, precision, pprecision,
+def _inv_density_ladder(
+    xr_ref, xi_ref, wi_ref, wf_ref, dr_ref, di_ref, sr_ref, si_ref,
+    *, R, prefactor, precision, pprecision, psi_out,
 ):
-    """Fused2 inverse producing psi PLUS the density forward of the same
-    plane in one HBM pass: psi is materialized (written out) and
-    rho = prefactor*|psi|^2 is synthesized from the in-register psi chunks
-    and forward-transformed over the same two axes — one full read of psi
-    saved vs the separate density pass (calculate_density :1031-1063)."""
+    """Shared body of the inv+density kernels: complex fused2 inverse
+    (sublane stage -> scratch, lane stage in-register), density
+    rho = prefactor*|psi|^2 synthesized from the in-register psi chunks,
+    then the real-forward of rho over the same two axes. psi_out =
+    (pr_ref, pi_ref) additionally materializes the inverse's field;
+    None keeps psi entirely in-register (the exact-dt prefix)."""
     iphases = _radix_phases(R, inverse=True)
     fphases = _radix_phases(R, inverse=False)
     inv_sqrt_r = 1.0 / math.sqrt(R)
-    # complex fused2 inverse: sublane stage -> scratch, lane stage -> psi
     u = [
         _cmatmul_t(
             wi_ref[r, 0],
@@ -658,8 +666,9 @@ def _fused_kernel_inv_density(
     rho_chunks = []
     for a in range(R):
         pre, pim = combined[a]
-        pr_ref[0, :, a * LEAF : (a + 1) * LEAF] = pre
-        pi_ref[0, :, a * LEAF : (a + 1) * LEAF] = pim
+        if psi_out is not None:
+            psi_out[0][0, :, a * LEAF : (a + 1) * LEAF] = pre
+            psi_out[1][0, :, a * LEAF : (a + 1) * LEAF] = pim
         rho_chunks.append(prefactor * (pre * pre + pim * pim))
     # real-forward of rho over the same two axes: lane stage (real input,
     # half the arithmetic) -> scratch, sublane stage -> out
@@ -677,6 +686,22 @@ def _fused_kernel_inv_density(
         yre, yim = _cmatmul_t(wf_ref[r, 0], wf_ref[r, 1], s[r][0], s[r][1], pprecision)
         dr_ref[0, r * LEAF : (r + 1) * LEAF, :] = yre
         di_ref[0, r * LEAF : (r + 1) * LEAF, :] = yim
+
+
+def _fused_kernel_inv_density(
+    xr_ref, xi_ref, wi_ref, wf_ref, pr_ref, pi_ref, dr_ref, di_ref,
+    sr_ref, si_ref, *, R, prefactor, precision, pprecision,
+):
+    """Fused2 inverse producing psi PLUS the density forward of the same
+    plane in one HBM pass: psi is materialized (written out) and
+    rho = prefactor*|psi|^2 is synthesized from the in-register psi chunks
+    and forward-transformed over the same two axes — one full read of psi
+    saved vs the separate density pass (calculate_density :1031-1063)."""
+    _inv_density_ladder(
+        xr_ref, xi_ref, wi_ref, wf_ref, dr_ref, di_ref, sr_ref, si_ref,
+        R=R, prefactor=prefactor, precision=precision,
+        pprecision=pprecision, psi_out=(pr_ref, pi_ref),
+    )
 
 
 def _fused_kernel_potkick_fwd(
@@ -926,11 +951,12 @@ def _fused_kernel_real_fwd(xr_ref, w_ref, or_ref, oi_ref, sr_ref, si_ref, *, R, 
         oi_ref[0, r * LEAF : (r + 1) * LEAF, :] = yim
 
 
-def _fused_kernel_real_inv(
-    xr_ref, xi_ref, w_ref, or_ref, sr_ref, si_ref, *, R, precision
-):
-    """Fused inverse emitting only the REAL plane: complex sublane inverse
-    into scratch, real-output lane inverse out (half its arithmetic)."""
+def _real_inv_ladder(xr_ref, xi_ref, w_ref, sr_ref, si_ref, *, R, precision):
+    """Shared body of the real-output fused2 inverses: complex sublane
+    inverse into scratch, lane-stage products, then yields the real field
+    chunk per lane block for the caller's epilogue (write or reduce).
+    Re(U_r) and Im(U_r) are both needed by the butterfly's complex phases;
+    only the final output drops the imag plane."""
     phases = _radix_phases(R, inverse=True)
     inv_sqrt_r = 1.0 / math.sqrt(R)
     u = [
@@ -947,20 +973,34 @@ def _fused_kernel_real_inv(
     for a in range(R):
         sr_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][0]
         si_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][1]
-    u = []
-    for r in range(R):
-        xre = sr_ref[:, r * LEAF : (r + 1) * LEAF]
-        xim = si_ref[:, r * LEAF : (r + 1) * LEAF]
-        # Re(U_r) and Im(U_r) are both needed by the butterfly's complex
-        # phases; only the final output drops the imag plane.
-        u.append(_cmatmul(xre, xim, w_ref[r, 0], w_ref[r, 1], precision))
+    u = [
+        _cmatmul(
+            sr_ref[:, r * LEAF : (r + 1) * LEAF],
+            si_ref[:, r * LEAF : (r + 1) * LEAF],
+            w_ref[r, 0],
+            w_ref[r, 1],
+            precision,
+        )
+        for r in range(R)
+    ]
     for a in range(R):
         acc = None
         for r in range(R):
             w = phases[a][r]
             t = _scale_add(u[r][0], w.real, u[r][1], -w.imag)
             acc = t if acc is None else acc + t
-        or_ref[0, :, a * LEAF : (a + 1) * LEAF] = acc * inv_sqrt_r
+        yield a, acc * inv_sqrt_r
+
+
+def _fused_kernel_real_inv(
+    xr_ref, xi_ref, w_ref, or_ref, sr_ref, si_ref, *, R, precision
+):
+    """Fused inverse emitting only the REAL plane: complex sublane inverse
+    into scratch, real-output lane inverse out (half its arithmetic)."""
+    for a, field in _real_inv_ladder(
+        xr_ref, xi_ref, w_ref, sr_ref, si_ref, R=R, precision=precision
+    ):
+        or_ref[0, :, a * LEAF : (a + 1) * LEAF] = field
 
 
 # ---------------------------------------------------------------------------
@@ -1479,13 +1519,14 @@ def _axis_pass_sublane_fwd_reduce_sep(xr, xi, axis: int, s0, s12, cutoff: float)
 
 
 def _axis_pass_sublane_roundtrip_kick_reduce_sep(
-    xr, xi, axis: int, s0, s12, coeff, cutoff: float
+    xr, xi, axis: int, s0, s12, coeff, cutoff: float, with_reduce: bool = True
 ):
     """One-pass F_axis -> (norm/alias partial sums; exp(i*c*k^2) kick) ->
     F_axis^-1 (see kernel). coeff is per-stream leading-batch scalars; the
     separable phase-factor tables are built by XLA outside the kernel
     (b x size + b x lanes sin/cos — trivial). Returns (re, im, norm_sums,
-    alias_sums) with the partial sums shaped (b1, lanes // width)."""
+    alias_sums) with the partial sums shaped (b1, lanes // width), or just
+    (re, im) when with_reduce=False."""
     size, b1, lanes, width = _sublane_view(xr, axis)
     R = size // LEAF
     wf = jnp.asarray(_matrices(size, False, xr.dtype.name))
@@ -1524,7 +1565,16 @@ def _axis_pass_sublane_roundtrip_kick_reduce_sep(
         R=R,
         cutoff=float(cutoff),
         precision=_precision(),
+        with_reduce=with_reduce,
     )
+    out_specs = [spec_x, spec_x]
+    out_shape = [
+        jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
+        jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
+    ]
+    if with_reduce:
+        out_specs += [sspec, sspec]
+        out_shape += [jax.ShapeDtypeStruct((b1, nblk, 8, LEAF), xr.dtype)] * 2
     out = pl.pallas_call(
         kern,
         grid=grid,
@@ -1532,16 +1582,13 @@ def _axis_pass_sublane_roundtrip_kick_reduce_sep(
             spec_x, spec_x, wspec, wspec, spec_s0, spec_s12,
             spec_f0, spec_f0, spec_f12, spec_f12,
         ],
-        out_specs=[spec_x, spec_x, sspec, sspec],
-        out_shape=[
-            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
-            jax.ShapeDtypeStruct((b1, size, lanes), xr.dtype),
-            jax.ShapeDtypeStruct((b1, nblk, 8, LEAF), xr.dtype),
-            jax.ShapeDtypeStruct((b1, nblk, 8, LEAF), xr.dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=_cparams(2),
         interpret=_interpret(),
     )(xr3, xi3, wf, wi, s0v, s12v, f0c, f0s, f12c, f12s)
+    if not with_reduce:
+        return out[0].reshape(xr.shape), out[1].reshape(xr.shape)
     return (
         out[0].reshape(xr.shape),
         out[1].reshape(xr.shape),
@@ -1662,51 +1709,11 @@ def _fused_kernel_inv_density_rho_only(
     Used by the exact-dt skew prefix, where psi(t) is needed solely as
     rho = prefactor*|psi|^2 for the adaptive-dt potential (get_timestep
     :878-934) and never has to exist in HBM."""
-    iphases = _radix_phases(R, inverse=True)
-    fphases = _radix_phases(R, inverse=False)
-    inv_sqrt_r = 1.0 / math.sqrt(R)
-    u = [
-        _cmatmul_t(
-            wi_ref[r, 0],
-            wi_ref[r, 1],
-            xr_ref[0, r * LEAF : (r + 1) * LEAF, :],
-            xi_ref[0, r * LEAF : (r + 1) * LEAF, :],
-            precision,
-        )
-        for r in range(R)
-    ]
-    combined = _butterfly(u, iphases, inv_sqrt_r)
-    for a in range(R):
-        sr_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][0]
-        si_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][1]
-    u = [
-        _cmatmul(
-            sr_ref[:, r * LEAF : (r + 1) * LEAF],
-            si_ref[:, r * LEAF : (r + 1) * LEAF],
-            wi_ref[r, 0],
-            wi_ref[r, 1],
-            precision,
-        )
-        for r in range(R)
-    ]
-    combined = _butterfly(u, iphases, inv_sqrt_r)
-    rho_chunks = [
-        prefactor * (pre * pre + pim * pim) for pre, pim in combined
-    ]
-    for r, yre, yim in _real_fwd_lane_stage(
-        rho_chunks, fphases, inv_sqrt_r, wf_ref, pprecision
-    ):
-        sr_ref[:, r * LEAF : (r + 1) * LEAF] = yre
-        si_ref[:, r * LEAF : (r + 1) * LEAF] = yim
-    chunks = [
-        (sr_ref[a * LEAF : (a + 1) * LEAF, :], si_ref[a * LEAF : (a + 1) * LEAF, :])
-        for a in range(R)
-    ]
-    s = _butterfly(chunks, fphases, inv_sqrt_r)
-    for r in range(R):
-        yre, yim = _cmatmul_t(wf_ref[r, 0], wf_ref[r, 1], s[r][0], s[r][1], pprecision)
-        dr_ref[0, r * LEAF : (r + 1) * LEAF, :] = yre
-        di_ref[0, r * LEAF : (r + 1) * LEAF, :] = yim
+    _inv_density_ladder(
+        xr_ref, xi_ref, wi_ref, wf_ref, dr_ref, di_ref, sr_ref, si_ref,
+        R=R, prefactor=prefactor, precision=precision,
+        pprecision=pprecision, psi_out=None,
+    )
 
 
 def _axis_pass_fused2_inv_density_rho_only(xr, xi, prefactor: float):
@@ -1754,40 +1761,11 @@ def _fused_kernel_real_inv_max(
     """`_fused_kernel_real_inv` emitting ONLY max|Re field| partials: the
     exact-dt prefix needs phi(t) solely for the potential CFL bound
     max|phi| (get_timestep :905-909), so phi never touches HBM."""
-    phases = _radix_phases(R, inverse=True)
-    inv_sqrt_r = 1.0 / math.sqrt(R)
-    u = [
-        _cmatmul_t(
-            w_ref[r, 0],
-            w_ref[r, 1],
-            xr_ref[0, r * LEAF : (r + 1) * LEAF, :],
-            xi_ref[0, r * LEAF : (r + 1) * LEAF, :],
-            precision,
-        )
-        for r in range(R)
-    ]
-    combined = _butterfly(u, phases, inv_sqrt_r)
-    for a in range(R):
-        sr_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][0]
-        si_ref[a * LEAF : (a + 1) * LEAF, :] = combined[a][1]
-    u = [
-        _cmatmul(
-            sr_ref[:, r * LEAF : (r + 1) * LEAF],
-            si_ref[:, r * LEAF : (r + 1) * LEAF],
-            w_ref[r, 0],
-            w_ref[r, 1],
-            precision,
-        )
-        for r in range(R)
-    ]
     mx = None
-    for a in range(R):
-        acc = None
-        for r in range(R):
-            w = phases[a][r]
-            t = _scale_add(u[r][0], w.real, u[r][1], -w.imag)
-            acc = t if acc is None else acc + t
-        bm = jnp.max(jnp.abs(acc * inv_sqrt_r))
+    for _a, field in _real_inv_ladder(
+        xr_ref, xi_ref, w_ref, sr_ref, si_ref, R=R, precision=precision
+    ):
+        bm = jnp.max(jnp.abs(field))
         mx = bm if mx is None else jnp.maximum(mx, bm)
     mx_ref[...] = jnp.broadcast_to(mx, mx_ref.shape).astype(mx_ref.dtype)
 
@@ -1847,8 +1825,8 @@ def fused_step_exact_prefix(
     lead = qr.shape[:-3]
     n0 = qr.shape[-3]
     ax0 = qr.ndim - 3
-    qr1, qi1, _ns, _am = _axis_pass_sublane_roundtrip_kick_reduce_sep(
-        qr, qi, ax0, s0, s12, pending, 0.0
+    qr1, qi1 = _axis_pass_sublane_roundtrip_kick_reduce_sep(
+        qr, qi, ax0, s0, s12, pending, 0.0, with_reduce=False
     )
     dr, di = _axis_pass_fused2_inv_density_rho_only(qr1, qi1, prefactor)
     dr, di = _axis_pass_sublane_roundtrip_poisson_sep(

@@ -71,7 +71,11 @@ class SimState:
     phi_max: jax.Array  # max|phi| at the last mid-drift (lagged-dt mode)
     norm0: jax.Array  # initial sum|psik|^2 dk^d (debug-checks reference)
     max_norm_err: jax.Array  # running max |norm/norm0 - 1| (inf on NaN)
-    pending_k: jax.Array  # lagged mode: true psik = exp(i pending_k k^2) psik
+    # Deferred closing half-kick: true psik = exp(i pending_k k^2) psik.
+    # Nonzero on lagged non-dump steps AND inside the skewed evolve loop
+    # in BOTH dt modes (exact applies it in the next step's prefix);
+    # always zero in states leaving the evolve loop.
+    pending_k: jax.Array
 
 
 @jax.tree_util.register_dataclass
@@ -193,11 +197,10 @@ class Stepper:
         # four-pass pre-step potential prefix (fused_step_exact_prefix:
         # psi(t)/phi(t) never in HBM either; 8 passes per step vs the
         # unskewed ~11 + conversions).
-        self.skew = (
-            self.fuse_phases
-            and dt_mode in ("lagged", "exact")
-            and os.environ.get("MSM_SKEW_STEP", "1") not in ("0", "false")
-        )
+        # (both dt modes skew — lagged directly, exact via the prefix)
+        self.skew = self.fuse_phases and os.environ.get(
+            "MSM_SKEW_STEP", "1"
+        ) not in ("0", "false")
 
         # Dump schedule: t_dump[i] = t0 + i * T / num_dumps. The reference
         # mis-schedules dumps when `time != 0` (its "TODO: fix for

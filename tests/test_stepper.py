@@ -453,12 +453,15 @@ def test_skewed_evolve_equivalence_3d(dtm):
         fft.set_default_mode("xla")
 
 
-def test_skewed_evolve_alias_freeze():
+@pytest.mark.parametrize("dtm", ["lagged", "exact"])
+def test_skewed_evolve_alias_freeze(dtm):
     """Per-stream alias freeze under the skew: the reductions are computed
     one iteration late and the extra iteration's work is discarded, so a
     stream whose step aliased must freeze in exactly the unskewed state
     (reference semantics: the aliased update completes, then the stream
-    stops; simulation_object.rs:607-617)."""
+    stops; simulation_object.rs:607-617). In exact mode the discarded
+    iteration's PREFIX work (pending kick applied to the scratch copy)
+    must also leave the frozen stream's stored pending intact."""
     p = _skew_params(num_data_dumps=1, alias_threshold=1e-7)
     psi0 = np.asarray(ics.build_ics(p))
     # stream 2: enough mass in the 3-axis Nyquist mode (k^2 = k2_max, above
@@ -475,9 +478,9 @@ def test_skewed_evolve_alias_freeze():
 
     fft.set_default_mode("mxu")
     try:
-        st_a = Stepper(p, jnp.complex128, dt_mode="lagged")
+        st_a = Stepper(p, jnp.complex128, dt_mode=dtm)
         assert st_a.skew
-        st_b = Stepper(p, jnp.complex128, dt_mode="lagged")
+        st_b = Stepper(p, jnp.complex128, dt_mode=dtm)
         st_b.skew = False
         sa = st_a.evolve_to_next_dump(st_a.init_state(psib))
         sb = st_b.evolve_to_next_dump(st_b.init_state(psib))
@@ -496,22 +499,32 @@ def test_skewed_evolve_alias_freeze():
     np.testing.assert_allclose(
         np.asarray(sa.psik)[0], np.asarray(sb.psik)[0], atol=1e-12
     )
-    # the UNSKEWED path leaves an aliased-frozen stream unmaterialized
-    # (stale psi, the closing half-kick still deferred in pending_k); the
-    # skew exit materializes every stream. Same state up to that kick:
-    from msm_tpu.ops import mxu_fft
+    if dtm == "lagged":
+        # the UNSKEWED lagged path leaves an aliased-frozen stream
+        # unmaterialized (stale psi, the closing half-kick still deferred
+        # in pending_k); the skew exit materializes every stream. Same
+        # state up to that kick:
+        from msm_tpu.ops import mxu_fft
 
-    spec_e = np.asarray(st_b.consts.spec_grid)  # engine order under mxu
-    assert float(np.asarray(sb.pending_k)[1]) != 0.0
-    psik_b1 = np.asarray(sb.psik)[1] * np.exp(
-        1j * float(np.asarray(sb.pending_k)[1]) * spec_e
-    )
-    np.testing.assert_allclose(np.asarray(sa.psik)[1], psik_b1, atol=1e-12)
-    np.testing.assert_allclose(
-        np.asarray(sa.psi)[1],
-        np.asarray(mxu_fft.inverse_engine(jnp.asarray(psik_b1), 3)),
-        atol=1e-12,
-    )
+        spec_e = np.asarray(st_b.consts.spec_grid)  # engine order under mxu
+        assert float(np.asarray(sb.pending_k)[1]) != 0.0
+        psik_b1 = np.asarray(sb.psik)[1] * np.exp(
+            1j * float(np.asarray(sb.pending_k)[1]) * spec_e
+        )
+        np.testing.assert_allclose(np.asarray(sa.psik)[1], psik_b1, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(sa.psi)[1],
+            np.asarray(mxu_fft.inverse_engine(jnp.asarray(psik_b1), 3)),
+            atol=1e-12,
+        )
+    else:
+        # exact mode materializes every step even unskewed: direct equality
+        np.testing.assert_allclose(
+            np.asarray(sa.psik)[1], np.asarray(sb.psik)[1], atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(sa.psi)[1], np.asarray(sb.psi)[1], atol=1e-12
+        )
     assert float(np.abs(np.asarray(sa.pending_k)).max()) == 0.0
     # the healthy stream's mass is rounding dust (~1e-35) — atol covers it
     np.testing.assert_allclose(
