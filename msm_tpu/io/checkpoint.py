@@ -27,6 +27,7 @@ def write_manifest(
     n_steps: int = 0,
     wall_time_ms: float = 0.0,
     aliased: bool = False,
+    max_norm_err: Optional[float] = None,
     extra: Optional[dict[str, Any]] = None,
 ) -> None:
     payload = {
@@ -39,6 +40,9 @@ def write_manifest(
         "wall_time_ms": float(wall_time_ms),
         "aliased": bool(aliased),
     }
+    if max_norm_err is not None:
+        # running in-jit unitarity monitor (--debug-checks runs only)
+        payload["max_norm_err"] = float(max_norm_err)
     if extra:
         payload.update(extra)
     tmp = os.path.join(sim_dir, MANIFEST_NAME + ".tmp")

@@ -537,6 +537,10 @@ def run_single(
                             f"in-step unitarity violation in {params.sim_name}: "
                             f"max |norm/norm0 - 1| = {err:.3g}"
                         )
+                    # record the running in-jit unitarity monitor alongside
+                    # the resume state (observability: drift vs check_norm
+                    # budgets without re-reading dumps)
+                    scalars["max_norm_err"] = err
                 idx = scalars["current_dumps"]
                 run.dump_field((re_np[j] + 1j * im_np[j]).astype(cdt), idx)
                 if want_pot:
@@ -822,6 +826,8 @@ def run_config(
                                 )
                         r.dump_field(psi_ji, int(dumps_j[i]))
                         scalars = row_scalars(i)
+                        if debug_checks:
+                            scalars["max_norm_err"] = err
                         scalars["wall_time_ms"] = (_time.monotonic() - t_start) * 1e3
                         r.write_manifest(scalars)
                         if want_pot:
@@ -892,6 +898,8 @@ def run_config(
                             )
                     r.dump_field(view.psi(i), int(dumps_np[i]))
                     scalars = view.run_scalars(i)
+                    if debug_checks:
+                        scalars["max_norm_err"] = err
                     scalars["wall_time_ms"] = (_time.monotonic() - t_start) * 1e3
                     r.write_manifest(scalars)
             if just_dumped.any():
