@@ -68,6 +68,7 @@ def cmd_simulate(args) -> int:
         resume=args.resume,
         dt_mode="lagged" if args.fast_dt else "exact",
         debug_checks=args.debug_checks,
+        check_eps=args.check_eps,
         profile_dir=args.profile_dir,
         mesh=args.mesh,
         use_remote_storage=not args.ignore_remote_storage,
@@ -78,10 +79,24 @@ def cmd_simulate(args) -> int:
     return 0
 
 
+# env_logger-style verbosity levels (synthesizer/src/main.rs:34-41 wires
+# --verbosity straight into the logger); "trace" has no Python analogue
+# below DEBUG so it maps to DEBUG.
+_VERBOSITY_LEVELS = {
+    "off": logging.CRITICAL + 10,
+    "error": logging.ERROR,
+    "warn": logging.WARNING,
+    "info": logging.INFO,
+    "debug": logging.DEBUG,
+    "trace": logging.DEBUG,
+}
+
+
 def cmd_synthesize(args) -> int:
     from . import config as cfg
     from .synthesis import synthesize_post_only, synthesize_toml
 
+    logging.getLogger().setLevel(_VERBOSITY_LEVELS[args.verbosity])
     if args.distributed:
         import jax
 
@@ -168,6 +183,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="validate norm and finiteness at every dump boundary",
     )
     sim.add_argument(
+        "--check-eps",
+        type=float,
+        default=None,
+        help="unitarity tolerance for --debug-checks: |norm - 1| must stay "
+        "below this. Default 1e-4 at f64 (the reference's check_norm eps, "
+        "grid.rs:35-64) and 1e-3 at f32 (the measured mixed-precision TPU "
+        "drift envelope; PARITY.md)",
+    )
+    sim.add_argument(
         "--profile-dir",
         default=None,
         help="capture a jax.profiler trace of the run into this directory",
@@ -176,7 +200,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     syn = sub.add_parser("synthesize", help="combine stream dumps (msm-synthesizer)")
     _add_common(syn)
-    syn.add_argument("--verbosity", default="off")
+    syn.add_argument(
+        "--verbosity",
+        default="off",
+        choices=tuple(_VERBOSITY_LEVELS),
+        help="log level (env_logger levels; synthesizer/src/main.rs:34-41)",
+    )
     syn.add_argument(
         "--dump-range",
         default=None,

@@ -131,6 +131,13 @@ class RemoteStorageConfig:
 
 _RANGE_INCLUSIVE = re.compile(r"^\s*(\d+)\s*\.\.=\s*(\d+)\s*$")
 _RANGE_TO = re.compile(r"^\s*(\d+)\s+to\s+(\d+)\s*$")
+# explicit list form: "[s1, s2, ...]" (brackets optional — the reference's
+# own tests accept bare "1, 3"; common/src/parameters.rs:135-144). The whole
+# string must be a well-formed integer list (a trailing comma is
+# tolerated); malformed specs are rejected outright, matching the
+# reference's effective behavior (its digit-run scrape panics on the
+# attached garbage, parameters.rs:183-193) instead of silently scraping.
+_LIST_FORM = re.compile(r"^\s*\[?\s*\d+\s*(?:,\s*\d+\s*)*,?\s*\]?\s*$")
 _DIGITS = re.compile(r"\d+")
 
 
@@ -138,7 +145,7 @@ def parse_seeds(spec: Union[str, Sequence[int]]) -> tuple[int, ...]:
     """Parse the seeds DSL: `"a..=b"`, `"a to b"`, `"[s1, s2, ...]"`.
 
     Also accepts a plain TOML integer list (extension over the reference,
-    which only accepts strings).
+    which only accepts strings). Anything else raises ValueError.
     """
     if not isinstance(spec, str):
         return tuple(int(s) for s in spec)
@@ -148,11 +155,11 @@ def parse_seeds(spec: Union[str, Sequence[int]]) -> tuple[int, ...]:
     if m := _RANGE_TO.match(spec):
         lo, hi = int(m.group(1)), int(m.group(2))
         return tuple(range(lo, hi + 1))
-    found = _DIGITS.findall(spec)
-    if found:
-        return tuple(int(s) for s in found)
+    if _LIST_FORM.match(spec):
+        return tuple(int(s) for s in _DIGITS.findall(spec))
     raise ValueError(
-        "seeds did not match expected patterns: low..=high, low to high, [s1, s2, s3]"
+        f"seeds spec {spec!r} did not match expected patterns: "
+        "low..=high, low to high, [s1, s2, s3]"
     )
 
 

@@ -125,8 +125,36 @@ class MeshStepper:
             max_norm_err=self.scalar_spec,
             pending_k=self.scalar_spec,
         )
+        # Total over the StepConsts dataclass: every field MUST have an
+        # explicit spec here, so a new const field cannot silently shard as
+        # "whatever device_put does" under shard_map — adding one without a
+        # spec fails loudly at MeshStepper construction. Fields whose value
+        # is None in this configuration get a None spec (empty subtree,
+        # matching the consts pytree structure).
+        field_specs = {
+            "spec_grid": kspec,
+            "alias_mask": kspec,
+            "tau_dumps": P(),
+            "spec_grid_r": P(),
+            "poisson_map": kspec,
+            "spec_axis0": P(),
+            "spec_axis12": P(),
+        }
+        names = {f.name for f in dataclasses.fields(StepConsts)}
+        missing = names - field_specs.keys()
+        if missing:
+            raise NotImplementedError(
+                f"StepConsts fields without mesh sharding specs: {sorted(missing)}"
+            )
         self.consts_specs = StepConsts(
-            spec_grid=kspec, alias_mask=kspec, tau_dumps=P(), spec_grid_r=P()
+            **{
+                name: (
+                    None
+                    if getattr(self.stepper.consts, name) is None
+                    else field_specs[name]
+                )
+                for name in names
+            }
         )
 
         def smap(f, out_specs):

@@ -289,7 +289,23 @@ def _try_resume_batch(runs, stepper: Stepper, data_root: str, pad_to: int):
     )
 
 
-def _debug_validate(psi_np: np.ndarray, params: SimulationParameters, where: str):
+def _resolve_check_eps(check_eps, dtype) -> float:
+    """Unitarity tolerance for --debug-checks.
+
+    The reference's check_norm uses eps = 1e-4 (`grid.rs:35-64`) — that is
+    the default where precision allows (f64). At f32/mixed TPU precision the
+    measured drift envelope is ~1.1e-4 over 200 steps and sub-linear beyond
+    (PARITY.md), so the f32 default is 1e-3; pass --check-eps to override
+    either way.
+    """
+    if check_eps is not None:
+        return float(check_eps)
+    return 1e-4 if jnp.dtype(dtype) == jnp.complex128 else 1e-3
+
+
+def _debug_validate(
+    psi_np: np.ndarray, params: SimulationParameters, where: str, eps: float
+):
     """Runtime sanitizers: norm + NaN/Inf checks at dump boundaries.
 
     The reference's debug_assert!(check_norm...) / check_complex_for_nans
@@ -299,9 +315,10 @@ def _debug_validate(psi_np: np.ndarray, params: SimulationParameters, where: str
     if not np.all(np.isfinite(psi_np.real)) or not np.all(np.isfinite(psi_np.imag)):
         raise FloatingPointError(f"NaN/Inf in psi at {where}")
     norm = float(np.sum(np.abs(psi_np) ** 2) * params.dx**params.dims)
-    if abs(norm - 1.0) > 1e-3:
+    if abs(norm - 1.0) > eps:
         raise FloatingPointError(
-            f"norm violation at {where}: sum|psi|^2 dV = {norm:.6g}"
+            f"norm violation at {where}: sum|psi|^2 dV = {norm:.6g} "
+            f"(eps = {eps:g})"
         )
 
 
@@ -421,8 +438,10 @@ def run_single(
     backend=None,
     use_remote_storage: bool = True,
     debug_checks: bool = False,
+    check_eps: float | None = None,
 ) -> SimState:
     """Run one simulation to completion, dumping psi at every boundary."""
+    eps = _resolve_check_eps(check_eps, dtype)
     stepper = Stepper(params, dtype, dt_mode=dt_mode, debug_checks=debug_checks)
     if backend is None and use_remote_storage:
         backend = storage_backend_for(params, data_root, writer)
@@ -532,7 +551,7 @@ def run_single(
                     continue  # post-finish no-op interval
                 if debug_checks:
                     err = float(host["max_norm_err"][j])
-                    if not err < 1e-3:
+                    if not err < eps:
                         raise FloatingPointError(
                             f"in-step unitarity violation in {params.sim_name}: "
                             f"max |norm/norm0 - 1| = {err:.3g}"
@@ -574,6 +593,7 @@ def run_config(
     resume: bool = False,
     dt_mode: str = "exact",
     debug_checks: bool = False,
+    check_eps: Optional[float] = None,
     profile_dir: Optional[str] = None,
     mesh: str = "none",
     use_remote_storage: bool = True,
@@ -590,6 +610,7 @@ def run_config(
     SURVEY.md §5).
     """
     all_params = list(iter_stream_parameters(toml))
+    eps = _resolve_check_eps(check_eps, dtype)
     if online_synthesis and (not batch_streams or len(all_params) == 1):
         raise ValueError("online synthesis requires batched streams")
     backend = (
@@ -616,6 +637,7 @@ def run_config(
                             backend=backend,
                             use_remote_storage=use_remote_storage,
                             debug_checks=debug_checks,
+                            check_eps=check_eps,
                         )
                     )
         finally:
@@ -815,10 +837,10 @@ def run_config(
                         psi_ji = (re_np[j, i] + 1j * im_np[j, i]).astype(cdt)
                         if debug_checks:
                             _debug_validate(
-                                psi_ji, all_params[i], f"{r.params.sim_name} dump"
+                                psi_ji, all_params[i], f"{r.params.sim_name} dump", eps
                             )
                             err = float(host["max_norm_err"][j][i])
-                            if not err < 1e-3:
+                            if not err < eps:
                                 raise FloatingPointError(
                                     f"in-step unitarity violation in "
                                     f"{r.params.sim_name}: max |norm/norm0 - 1| "
@@ -887,10 +909,10 @@ def run_config(
                 if just_dumped[i]:
                     if debug_checks:
                         _debug_validate(
-                            view.psi(i), all_params[i], f"{r.params.sim_name} dump"
+                            view.psi(i), all_params[i], f"{r.params.sim_name} dump", eps
                         )
                         err = float(view.scalar("max_norm_err")[i])
-                        if not err < 1e-3:
+                        if not err < eps:
                             raise FloatingPointError(
                                 f"in-step unitarity violation in "
                                 f"{r.params.sim_name}: max |norm/norm0 - 1| "

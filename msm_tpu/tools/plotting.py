@@ -87,6 +87,36 @@ def density_movie_frames(
     return paths
 
 
+def _ffmpeg_available() -> bool:
+    """Whether an mp4 encoder is reachable (imageio-ffmpeg plugin or a
+    system ffmpeg binary)."""
+    import shutil
+
+    try:
+        import imageio_ffmpeg  # noqa: F401
+
+        return True
+    except ImportError:
+        return shutil.which("ffmpeg") is not None
+
+
+def _encode_mp4_ffmpeg(frames: list[str], out_path: str, fps: int) -> None:
+    """Encode png frames to mp4 via the system ffmpeg binary (used when the
+    imageio-ffmpeg plugin is absent but ffmpeg itself is on PATH)."""
+    import os as _os
+    import subprocess
+
+    pattern = os.path.join(_os.path.dirname(frames[0]), "frame_%05d.png")
+    subprocess.run(
+        [
+            "ffmpeg", "-y", "-framerate", str(fps), "-i", pattern,
+            "-pix_fmt", "yuv420p", out_path,
+        ],
+        check=True,
+        capture_output=True,
+    )
+
+
 def density_movie(
     sim_dir: str,
     out_path: str,
@@ -94,16 +124,31 @@ def density_movie(
     fps: int = 10,
     max_dumps: Optional[int] = None,
 ) -> str:
-    """Assemble the per-dump frames into an animated GIF.
+    """Assemble the per-dump frames into a movie.
 
-    The reference wrote mp4 via imageio+ffmpeg (`simulator/plot.py:65-128`);
-    this environment ships imageio without an ffmpeg backend, so the movie
-    container is GIF (drop the frames through ffmpeg for mp4 elsewhere).
+    The reference wrote mp4 via imageio+ffmpeg (`simulator/plot.py:53-65`);
+    this does the same whenever an ffmpeg encoder is available (`.mp4`
+    output path, or any path when only GIF is impossible). Without ffmpeg
+    (this environment ships imageio but no encoder) a `.mp4` request falls
+    back to the sibling `.gif` container and says so in the returned path.
     """
     import imageio.v3 as iio
 
+    want_mp4 = out_path.lower().endswith(".mp4")
+    have_ffmpeg = _ffmpeg_available()
+    if want_mp4 and not have_ffmpeg:
+        out_path = out_path[:-4] + ".gif"
+        want_mp4 = False
+
     with __import__("tempfile").TemporaryDirectory() as tmp:
         frames = density_movie_frames(sim_dir, tmp, kspace, max_dumps)
+        if want_mp4:
+            try:
+                images = [iio.imread(f) for f in frames]
+                iio.imwrite(out_path, images, fps=fps)
+            except Exception:
+                _encode_mp4_ffmpeg(frames, out_path, fps)
+            return out_path
         images = [iio.imread(f) for f in frames]
     iio.imwrite(out_path, images, duration=1000 // fps, loop=0)
     return out_path

@@ -41,6 +41,17 @@ def test_seeds_invalid():
         cfg.parse_seeds("no numbers here")
 
 
+def test_seeds_malformed_rejected():
+    # digit runs embedded in garbage must NOT silently become a seed list
+    # (the reference's scrape panics on these too, parameters.rs:183-193)
+    for bad in ("garbage7text9", "1; 3", "1 3", "[1, x]", "[]", "1,,3"):
+        with pytest.raises(ValueError):
+            cfg.parse_seeds(bad)
+    # trailing comma and whitespace are tolerated
+    assert cfg.parse_seeds("[1, 2, 3,]") == (1, 2, 3)
+    assert cfg.parse_seeds(" 7 ") == (7,)
+
+
 @pytest.mark.parametrize("path", REFERENCE_TOMLS)
 def test_reads_reference_tomls(path):
     toml = cfg.read_toml(path)

@@ -109,32 +109,3 @@ def test_full_step_pallas_vs_jnp():
         np.asarray(s_pl.psi), np.asarray(s_jnp.psi), atol=1e-12
     )
     np.testing.assert_allclose(float(s_pl.time), float(s_jnp.time), rtol=1e-14)
-
-
-class TestPallasFFT:
-    """VMEM Stockham FFT (experimental): parity with numpy in interpret mode."""
-
-    @pytest.mark.parametrize("dims", [1, 2, 3])
-    def test_matches_numpy(self, rng, dims):
-        from msm_tpu.ops import pallas_fft
-
-        size = 32 if dims < 3 else 16
-        shape = (2,) + (size,) * dims
-        x = jnp.asarray(
-            (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(
-                np.complex64
-            )
-        )
-        got = np.asarray(pallas_fft.fftn_pallas(x, dims))
-        ref = np.fft.fftn(np.asarray(x), axes=tuple(range(-dims, 0)), norm="ortho")
-        np.testing.assert_allclose(got, ref, atol=1e-5)
-        back = np.asarray(
-            pallas_fft.fftn_pallas(pallas_fft.fftn_pallas(x, dims), dims, inverse=True)
-        )
-        np.testing.assert_allclose(back, np.asarray(x), atol=1e-5)
-
-    def test_eligibility(self):
-        from msm_tpu.ops import pallas_fft
-
-        assert pallas_fft.eligible(256)
-        assert not pallas_fft.eligible(48)
