@@ -114,11 +114,17 @@ class AsyncGridWriter:
 
     def submit(self, path_base: str, arr: np.ndarray) -> None:
         """Queue a complex grid for writing as an npy pair."""
+        self.submit_task(lambda: write_complex_pair(path_base, arr))
+
+    def submit_task(self, fn) -> None:
+        """Queue an arbitrary grid-sized write/upload task under the same
+        in-flight cap (the remote-storage transports ride this pool like
+        the reference's tokio upload tasks, io.rs:427-463)."""
         self._slots.acquire()
 
         def work():
             try:
-                write_complex_pair(path_base, arr)
+                fn()
             finally:
                 self._slots.release()
 

@@ -69,11 +69,15 @@ class SimulationRun:
         self.writer = writer
         self.backend = backend
         self.seed = params.sampling.seed if params.sampling is not None else None
+        # destination URL of the latest upload per field (remote backends
+        # return one from submit_grid; recorded in the manifest like the
+        # reference's upload_grid URL, io.rs:427-465)
+        self._urls: dict = {}
 
     def dump_field(self, psi_np: np.ndarray, dump_index: int, field: str = "psi"):
         arr = _dump_array(psi_np, self.params)
         if self.backend is not None:
-            self.backend.submit_grid(
+            self._urls[f"{field}_url"] = self.backend.submit_grid(
                 self.params.sim_name, field, dump_index, arr, seed=self.seed
             )
             return
@@ -94,7 +98,7 @@ class SimulationRun:
         return psi_path(self.dir, dump_index)
 
     def write_manifest(self, state_slice: dict):
-        write_manifest(self.dir, **state_slice)
+        write_manifest(self.dir, extra=self._urls or None, **state_slice)
 
 
 def storage_backend_for(
