@@ -22,10 +22,12 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument(
         "--dt-mode",
-        choices=("exact", "lagged"),
-        default="lagged",
+        choices=("exact", "lagged", "both"),
+        default="both",
         dest="dt_mode",
-        help="lagged (--fast-dt production path, default) or exact",
+        help="both (default): headline = lagged production fast path with "
+        "the reference-parity exact mode as an exact_dt sub-record; or one "
+        "mode alone",
     )
     parser.add_argument(
         "--metric",

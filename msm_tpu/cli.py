@@ -33,11 +33,25 @@ def _add_common(p: argparse.ArgumentParser):
 
 
 def _dtype_for(precision: str):
+    import os
+
     import jax
 
     from .utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    # Production default on TPU backends: the Pallas MXU engine for the
+    # sizes it supports (128*{1,2,4,8}), XLA otherwise — "mxu" mode already
+    # falls back per size. Off-TPU stays XLA (the Pallas kernels would run
+    # in interpret mode). MSM_FFT overrides.
+    if os.environ.get("MSM_FFT") is None and jax.default_backend() in (
+        "tpu",
+        "axon",
+    ):
+        from .ops import fft as fft_ops
+
+        fft_ops.set_default_mode("mxu")
 
     if precision == "f64":
         jax.config.update("jax_enable_x64", True)

@@ -2094,3 +2094,62 @@ def forward(psi: jnp.ndarray, dims: int) -> jnp.ndarray:
 def inverse(psik: jnp.ndarray, dims: int) -> jnp.ndarray:
     """Natural-order ortho ifftn."""
     return inverse_engine(to_engine(psik, dims), dims)
+
+
+class SingleEngine:
+    """Single-device fused-step engine adapter.
+
+    Normalizes the fused-step surface the stepper drives (fused_step /
+    skewed variants / Poisson solve / transforms) so the spatially-sharded
+    engine (`parallel.pfft_fused.ShardedEngine`) is a drop-in replacement:
+    same methods, same return conventions, reductions already global.
+    consts.spec_axis12 is the 2-D (size, size) k1^2+k2^2 table (the sharded
+    layout shards its rows); the kernels want it flat.
+    """
+
+    def __init__(self, dims: int, poisson_coeff: float, alias_cutoff: float,
+                 prefactor: float):
+        self.dims = dims
+        self.poisson_coeff = float(poisson_coeff)
+        self.alias_cutoff = float(alias_cutoff)
+        self.prefactor = float(prefactor)
+
+    @staticmethod
+    def _s12(consts):
+        return consts.spec_axis12.reshape(-1)
+
+    def fused_step(self, psik, consts, kick, vcoeff):
+        return fused_step_3d(
+            psik, consts.spec_axis0, self._s12(consts), kick, vcoeff,
+            self.poisson_coeff, self.alias_cutoff, self.prefactor,
+        )
+
+    def fused_step_skewed(self, qr, qi, consts, kick, vcoeff):
+        return fused_step_3d_skewed(
+            qr, qi, consts.spec_axis0, self._s12(consts), kick, vcoeff,
+            self.poisson_coeff, self.alias_cutoff, self.prefactor,
+        )
+
+    def exact_prefix(self, qr, qi, consts, pending):
+        return fused_step_exact_prefix(
+            qr, qi, consts.spec_axis0, self._s12(consts), pending,
+            self.poisson_coeff, self.prefactor,
+        )
+
+    def skew_enter(self, psik):
+        return skew_enter(psik, self.dims)
+
+    def skew_exit(self, qr, qi, consts, pending):
+        return skew_exit(
+            qr, qi, consts.spec_axis0, self._s12(consts), pending,
+            self.alias_cutoff,
+        )
+
+    def forward(self, psi):
+        return forward_engine(psi, self.dims)
+
+    def inverse(self, psik):
+        return inverse_engine(psik, self.dims)
+
+    def poisson_solve(self, psi, consts):
+        return poisson_solve(psi, self.dims, self.prefactor, consts.poisson_map)

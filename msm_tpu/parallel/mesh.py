@@ -132,3 +132,53 @@ def fetch_batch_slices(arr, indices: Sequence[int]):
             if gi in want and gi not in out:
                 out[gi] = data[j]
     return out
+
+
+def write_owner_indices_axis1(arr) -> Sequence[int]:
+    """`write_owner_indices` for a STACKED payload: the stream axis is
+    axis 1 (axis 0 is the interval-block scan axis)."""
+    n = arr.shape[1]
+    owners: dict[int, int] = {}
+    for dev, idx in arr.sharding.devices_indices_map(arr.shape).items():
+        sl = idx[1]
+        rng = range(*sl.indices(n)) if isinstance(sl, slice) else [int(sl)]
+        for i in rng:
+            p = dev.process_index
+            if i not in owners or p < owners[i]:
+                owners[i] = p
+    me = jax.process_index()
+    return sorted(i for i, p in owners.items() if p == me)
+
+
+def fetch_stacked_slices(arr, indices: Sequence[int]):
+    """Fetch {i: np.ndarray of shape (k, *grid)} for owned STREAM indices
+    (axis 1) of a stacked (k, streams, *grid) payload from local shards.
+
+    Requires the payload to be unsharded along axis 0 and the space axes
+    (the mesh interval-block path all_gathers those first)."""
+    import numpy as _np
+
+    out = {}
+    want = set(indices)
+    for shard in arr.addressable_shards:
+        sl = shard.index[1]
+        start = sl.indices(arr.shape[1])[0] if isinstance(sl, slice) else int(sl)
+        data = None
+        for j in range(shard.data.shape[1]):
+            gi = start + j
+            if gi in want and gi not in out:
+                if data is None:
+                    data = _np.asarray(shard.data)
+                out[gi] = data[:, j]
+    return out
+
+
+def host_local_value(arr):
+    """np.ndarray of a jax.Array that is replicated across processes (or
+    fully addressable): multi-host states keep tiny per-stream scalars
+    replicated so every process can read them without collectives."""
+    import numpy as _np
+
+    if getattr(arr, "is_fully_addressable", True):
+        return _np.asarray(arr)
+    return _np.asarray(arr.addressable_shards[0].data)

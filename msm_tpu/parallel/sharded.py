@@ -79,6 +79,9 @@ class MeshStepper:
         pencil = shard_space and len(active) == 2
         self.space_axes = tuple(active) if shard_space else ()
 
+        n_space = 1
+        for name in active:
+            n_space *= mesh.shape[name]
         self.stepper = Stepper(
             params,
             dtype,
@@ -87,11 +90,23 @@ class MeshStepper:
             ),
             dt_mode=dt_mode,
             debug_checks=debug_checks,
+            space_devices=n_space if shard_space else None,
         )
+        engine = self.stepper.sharded_engine
 
         dims = params.dims
         nones = (None,) * (dims - 1)
-        if pencil:
+        if engine:
+            # Sharded fused engine (parallel/pfft_fused.py): ALL active
+            # space axes act as one combined flattened axis. Real space
+            # shards Z over the combined axis; engine-order k space shards
+            # Y (axis 0 / Z stays fully local so the Z-axis kernels run
+            # unchanged — pfft_fused docstring).
+            comb = tuple(active) if len(active) > 1 else active[0]
+            self.psi_spec = P(STREAM_AXIS, comb, None, None)
+            self.psik_spec = P(STREAM_AXIS, None, comb, None)
+            kspec = P(None, comb, None)
+        elif pencil:
             ax0, ax1 = active
             # real space (Z/px, Y/py, X); k space (Z, Y/px, X/py)
             self.psi_spec = P(STREAM_AXIS, ax0, ax1, None)
@@ -132,13 +147,22 @@ class MeshStepper:
         # is None in this configuration get a None spec (empty subtree,
         # matching the consts pytree structure).
         field_specs = {
-            "spec_grid": kspec,
-            "alias_mask": kspec,
+            # on the engine path the full k^2 grid and alias mask are never
+            # read (synthesized in-register from the separable tables) and
+            # are replaced by tiny replicated placeholders below
+            "spec_grid": P() if engine else kspec,
+            "alias_mask": P() if engine else kspec,
             "tau_dumps": P(),
             "spec_grid_r": P(),
             "poisson_map": kspec,
             "spec_axis0": P(),
-            "spec_axis12": P(),
+            # 2-D (k1^2 + k2^2) table: rows sharded over the combined space
+            # axis — each device's slice matches its engine-order k chunk
+            "spec_axis12": (
+                P(tuple(active) if len(active) > 1 else active[0], None)
+                if engine
+                else P()
+            ),
         }
         names = {f.name for f in dataclasses.fields(StepConsts)}
         missing = names - field_specs.keys()
@@ -170,6 +194,7 @@ class MeshStepper:
 
         self._evolve = smap(self.stepper._evolve_to_next_dump, self.state_specs)
         self._step_fn = smap(self.stepper._step, self.state_specs)
+        self._interval_jits: dict = {}
         self._init_fn = jax.jit(
             jax.shard_map(
                 lambda re, im, consts: self.stepper._init_from_planes(re, im, consts),
@@ -206,6 +231,15 @@ class MeshStepper:
             consts_host = dataclasses.replace(
                 consts_host,
                 spec_grid_r=jnp.zeros((1,) * params.dims, self.stepper.rdtype),
+            )
+        if engine:
+            # unused on the fused engine path (pfft_fused synthesizes the
+            # kinetic phase, Poisson map and alias mask from the separable
+            # tables) — don't replicate two N^3 grids per device
+            consts_host = dataclasses.replace(
+                consts_host,
+                spec_grid=jnp.zeros((1,) * params.dims, self.stepper.rdtype),
+                alias_mask=jnp.zeros((1,) * params.dims, self.stepper.rdtype),
             )
         self.consts = jax.device_put(
             consts_host,
@@ -270,6 +304,72 @@ class MeshStepper:
 
     def evolve_to_next_dump(self, state: SimState, batched: bool = True) -> SimState:
         return self._evolve(state, self.consts)
+
+    def evolve_intervals(self, state: SimState, k: int, with_potential: bool = False):
+        """Advance k dump intervals in ONE compiled mesh program (the
+        dispatch-latency amortization of `Stepper.evolve_intervals`, on the
+        mesh: one host round trip per k dumps instead of per dump).
+
+        The stacked dump payload leaves the program host-consumable:
+        per-stream scalars are all_gathered over the stream axis (tiny;
+        every process can read them without further collectives —
+        mesh.host_local_value) and the psi/pot planes are all_gathered over
+        the SPACE axes (one gather per block at dump cadence, the same
+        traffic `gather_spatial` pays per dump on the one-interval path),
+        staying stream-sharded so multi-host fetches stay process-local
+        (mesh.fetch_stacked_slices).
+        """
+        from jax import lax
+
+        key = (int(k), bool(with_potential))
+        fn = self._interval_jits.get(key)
+        if fn is None:
+            scalar_names = (
+                "just_dumped", "aliased", "alias_mass", "max_norm_err",
+                "n_steps", "current_dumps", "time", "tau", "a",
+            )
+            grid_names = ("psi_re", "psi_im") + (
+                ("pot",) if with_potential else ()
+            )
+            # array-axis -> mesh-axis gathers for the payload grids, from
+            # the psi spec (skip the leading stream entry; +2 for the scan
+            # and stream axes)
+            space_gathers = [
+                (ax + 2, names)
+                for ax, names in enumerate(self.psi_spec[1:])
+                if names is not None
+            ]
+
+            def body(s, consts):
+                snapped, outs = self.stepper._evolve_intervals(
+                    s, consts, k=key[0], with_potential=key[1]
+                )
+                for name in scalar_names:
+                    outs[name] = lax.all_gather(
+                        outs[name], STREAM_AXIS, axis=1, tiled=True
+                    )
+                for name in grid_names:
+                    for ax, mesh_names in space_gathers:
+                        outs[name] = lax.all_gather(
+                            outs[name], mesh_names, axis=ax, tiled=True
+                        )
+                return snapped, outs
+
+            dims = self.params.dims
+            payload_spec = P(None, STREAM_AXIS, *((None,) * dims))
+            outs_specs = {name: P(None, None) for name in scalar_names}
+            outs_specs.update({name: payload_spec for name in grid_names})
+            fn = jax.jit(
+                jax.shard_map(
+                    body,
+                    mesh=self.mesh,
+                    in_specs=(self.state_specs, self.consts_specs),
+                    out_specs=(self.state_specs, outs_specs),
+                    check_vma=False,
+                )
+            )
+            self._interval_jits[key] = fn
+        return fn(state, self.consts)
 
     def step(self, state: SimState) -> SimState:
         return self._step_fn(state, self.consts)

@@ -127,15 +127,19 @@ def _interval_block_k(params, n_batch: int, dtype, stepper) -> int:
 
     Block size is compute-neutral (the scan body IS the per-interval
     program) but removes the per-interval host round trip that dominates
-    small-grid runs on remote/tunneled devices. Only the plain
-    single-process Stepper blocks >1: MeshStepper/multihost dump paths do
-    per-process slice fetches that are defined on the live state.
-    Bounded by the stacked dump payload (k × batch × grid psi planes,
-    ×1.5 with output_potential): MSM_INTERVAL_BLOCK overrides directly,
-    MSM_INTERVAL_BLOCK_MB sets the budget (default 512 MB, cap 32).
+    small-grid runs on remote/tunneled devices. Plain Stepper blocks when
+    single-process; MeshStepper blocks on any process count — its stacked
+    payload leaves the program with replicated scalars and stream-sharded,
+    space-gathered grids, so multi-host fetches stay process-local
+    (MeshStepper.evolve_intervals). Bounded by the stacked dump payload
+    (k × batch × grid psi planes, ×1.5 with output_potential):
+    MSM_INTERVAL_BLOCK overrides directly, MSM_INTERVAL_BLOCK_MB sets the
+    budget (default 512 MB, cap 32).
     """
     max_k = max(1, int(params.num_data_dumps))
-    if type(stepper) is not Stepper or jax.process_count() > 1:
+    if type(stepper) is Stepper and jax.process_count() > 1:
+        return 1
+    if not hasattr(stepper, "evolve_intervals"):
         return 1
     env = os.environ.get("MSM_INTERVAL_BLOCK")
     if env:
@@ -163,6 +167,59 @@ def _speculation_ok(params, n_batch: int, dtype, kblock: int) -> bool:
     live = 2 * (2 * grid) + 2 * payload
     budget = float(os.environ.get("MSM_SPECULATE_MB", "3072")) * 2**20
     return live <= budget
+
+
+class _BlockedOutsView:
+    """Host view of a stacked k-interval dump payload, single- or
+    multi-host (the blocked analogue of _EnsembleHostView).
+
+    Plain single-process payloads are fully addressable; mesh payloads
+    arrive with replicated per-stream scalars and stream-sharded,
+    space-replicated grids (MeshStepper.evolve_intervals), so each process
+    fetches exactly the streams it owns.
+    """
+
+    def __init__(self, outs: dict, n: int, want_pot: bool):
+        from .parallel.mesh import (
+            fetch_stacked_slices,
+            host_local_value,
+            write_owner_indices_axis1,
+        )
+
+        self.n = n
+        self.scal = {
+            name: host_local_value(v)
+            for name, v in outs.items()
+            if name not in ("psi_re", "psi_im", "pot")
+        }
+        re, im = outs["psi_re"], outs["psi_im"]
+        self._sliced = not getattr(re, "is_fully_addressable", True)
+        if self._sliced:
+            self.owned = [i for i in write_owner_indices_axis1(re) if i < n]
+            self._re = fetch_stacked_slices(re, self.owned)
+            self._im = fetch_stacked_slices(im, self.owned)
+            self._pot = (
+                fetch_stacked_slices(outs["pot"], self.owned) if want_pot else None
+            )
+        else:
+            self.owned = list(range(n))
+            self._re = np.asarray(re)
+            self._im = np.asarray(im)
+            self._pot = np.asarray(outs["pot"]) if want_pot else None
+
+    def scalar(self, name: str) -> np.ndarray:
+        return self.scal[name]
+
+    def psi(self, j: int, i: int) -> np.ndarray:
+        if self._sliced:
+            re, im = self._re[i][j], self._im[i][j]
+        else:
+            re, im = self._re[j, i], self._im[j, i]
+        cdt = np.complex64 if re.dtype == np.float32 else np.complex128
+        return (re + 1j * im).astype(cdt)
+
+    def pot(self, j: int, i: int) -> np.ndarray:
+        return self._pot[i][j] if self._sliced else self._pot[j, i]
 
 
 def _state_scalars(state: SimState, i: Optional[int] = None) -> dict:
@@ -797,12 +854,11 @@ def run_config(
                 # speculation-safety argument as the one-interval loop);
                 # big states dispatch synchronously (_speculation_ok)
                 speculative = _advance_blocks(state) if speculate else None
-                host = {name: np.asarray(v) for name, v in outs.items()}
-                re_np, im_np = host["psi_re"], host["psi_im"]
-                cdt = np.complex64 if re_np.dtype == np.float32 else np.complex128
+                view = _BlockedOutsView(outs, n, want_pot)
+                owned = set(view.owned)
                 for j in range(kblock):
-                    jd = host["just_dumped"][j]
-                    al = host["aliased"][j]
+                    jd = view.scalar("just_dumped")[j]
+                    al = view.scalar("aliased")[j]
                     # skip rows with nothing to do: no dumps and no NEWLY
                     # aliased stream (the latched aliased flag stays True
                     # on every row after a freeze)
@@ -811,16 +867,18 @@ def run_config(
                         or (al[:n] & ~np.asarray(reported_alias)).any()
                     ):
                         continue  # post-finish / frozen no-op interval
-                    total_steps = max(total_steps, int(host["n_steps"][j].max()))
-                    dumps_j = host["current_dumps"][j]
+                    total_steps = max(
+                        total_steps, int(view.scalar("n_steps")[j].max())
+                    )
+                    dumps_j = view.scalar("current_dumps")[j]
 
                     def row_scalars(i, j=j, dumps_j=dumps_j, al=al):
                         return {
                             "current_dumps": int(dumps_j[i]),
-                            "time": float(host["time"][j][i]),
-                            "tau": float(host["tau"][j][i]),
-                            "a": float(host["a"][j][i]),
-                            "n_steps": int(host["n_steps"][j][i]),
+                            "time": float(view.scalar("time")[j][i]),
+                            "tau": float(view.scalar("tau")[j][i]),
+                            "a": float(view.scalar("a")[j][i]),
+                            "n_steps": int(view.scalar("n_steps")[j][i]),
                             "aliased": bool(al[i]),
                         }
 
@@ -828,22 +886,23 @@ def run_config(
                         r = runs[i]
                         if al[i]:
                             if not reported_alias[i]:
-                                _report_aliasing(
-                                    all_params[i],
-                                    float(host["alias_mass"][j][i]),
-                                    strict_alias,
-                                )
                                 reported_alias[i] = True
-                                r.write_manifest(row_scalars(i))
+                                if i in owned:
+                                    _report_aliasing(
+                                        all_params[i],
+                                        float(view.scalar("alias_mass")[j][i]),
+                                        strict_alias,
+                                    )
+                                    r.write_manifest(row_scalars(i))
                             continue
-                        if not jd[i]:
+                        if not jd[i] or i not in owned:
                             continue
-                        psi_ji = (re_np[j, i] + 1j * im_np[j, i]).astype(cdt)
+                        psi_ji = view.psi(j, i)
                         if debug_checks:
                             _debug_validate(
                                 psi_ji, all_params[i], f"{r.params.sim_name} dump", eps
                             )
-                            err = float(host["max_norm_err"][j][i])
+                            err = float(view.scalar("max_norm_err")[j][i])
                             if not err < eps:
                                 raise FloatingPointError(
                                     f"in-step unitarity violation in "
@@ -858,17 +917,20 @@ def run_config(
                         r.write_manifest(scalars)
                         if want_pot:
                             r.dump_field(
-                                host["pot"][j, i].astype(cdt),
+                                view.pot(j, i).astype(psi_ji.dtype),
                                 int(dumps_j[i]),
                                 "potential",
                             )
                     done = int(dumps_j[:n].min())
                     if toml.cosmology is not None:
                         progress.update(
-                            done, redshift=1.0 / float(host["a"][j][:n].min()) - 1.0
+                            done,
+                            redshift=1.0 / float(view.scalar("a")[j][:n].min()) - 1.0,
                         )
                     else:
-                        progress.update(done, sim_time=float(host["time"][j][:n].min()))
+                        progress.update(
+                            done, sim_time=float(view.scalar("time")[j][:n].min())
+                        )
                 if not stepper.not_finished(state):
                     inflight = None
                 else:

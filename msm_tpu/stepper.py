@@ -122,7 +122,11 @@ class Stepper:
         spatial_axis: "str | tuple[str, ...] | None" = None,
         dt_mode: str = "exact",
         debug_checks: bool = False,
+        space_devices: "int | None" = None,
     ):
+        # space_devices: total device count over the space axes (the mesh
+        # owner — MeshStepper — passes it; the grid must divide it for the
+        # sharded fused engine to engage).
         # spatial_axis: one mesh-axis name (slab decomposition) or a tuple
         # of two (2-D pencil, 3-D grids only; parallel/pfft.fftn_pencil).
         # debug_checks: carry a per-STEP unitarity/finiteness monitor inside
@@ -159,6 +163,21 @@ class Stepper:
             and fft_ops.get_mode(params.size) == "mxu"
             and mxu_fft.supported(params.size)
         )
+        # Spatially-sharded fused engine (parallel/pfft_fused.py): the same
+        # Pallas kernel pipeline with all_to_all relayouts over the space
+        # axes; the space axes are treated as one combined flattened axis,
+        # so it needs size % (total space devices) == 0. 3-D fused-geometry
+        # grids only; MSM_MXU_SHARDED=0 falls back to the jnp.fft pencils.
+        self.sharded_engine = (
+            spatial_axis is not None
+            and params.dims == 3
+            and space_devices is not None
+            and params.size % space_devices == 0
+            and fft_ops.get_mode(params.size) == "mxu"
+            and mxu_fft.supported(params.size)
+            and mxu_fft._FUSE2
+            and os.environ.get("MSM_MXU_SHARDED", "1") not in ("0", "false")
+        )
         # Fused Pallas kernels synthesize the k-grid from indices in-register
         # (no spec_grid HBM reads); single-device path only — the sharded
         # path's local blocks see shard-local indices. Off under the MXU
@@ -175,14 +194,15 @@ class Stepper:
         self.k2_max = float(spec.max())
         # Static alias mask: modes with k^2 > k2_cutoff * k2_max.
         mask = (spec > p.k2_cutoff * self.k2_max).astype(np.float64)
-        if self.use_mxu:
+        if self.use_mxu or self.sharded_engine:
             spec = mxu_fft.permute_spec(spec, p.dims)
             mask = mxu_fft.permute_spec(mask, p.dims)
         # Fused-phase fast path: the step's elementwise interludes (kinetic
         # kick, potential kick, density, Poisson multiply) ride inside the
         # MXU FFT kernels' first passes — whole HBM passes removed from the
-        # DMA-bound step. 3-D only (mxu_fft fused kernels).
-        self.fuse_phases = (
+        # DMA-bound step. 3-D only (mxu_fft fused kernels); the sharded
+        # engine IS this path with all_to_alls between kernel stages.
+        self.fuse_phases = self.sharded_engine or (
             self.use_mxu
             and p.dims == 3
             and mxu_fft._FUSE2
@@ -245,16 +265,46 @@ class Stepper:
         poisson_map = None
         spec_axis0 = None
         spec_axis12 = None
+        self.engine = None
         if self.fuse_phases:
-            inv_k2 = np.where(spec > 0.0, 1.0, 0.0) / np.where(spec > 0.0, spec, 1.0)
-            poisson_map = jnp.asarray(-self.poisson_coeff * inv_k2, self.rdtype)
-            # Separable k^2 tables (ENGINE order) for the 5-pass step:
-            # all axes share dk, so per-axis k^2 is the 1-D spec grid.
+            if not self.sharded_engine:
+                # full-grid Poisson map for the standalone single-device
+                # solve (the sharded engine synthesizes the map in-register
+                # from the separable tables — no full-grid const to shard)
+                inv_k2 = np.where(spec > 0.0, 1.0, 0.0) / np.where(
+                    spec > 0.0, spec, 1.0
+                )
+                poisson_map = jnp.asarray(-self.poisson_coeff * inv_k2, self.rdtype)
+            # Separable k^2 tables (ENGINE order) for the fused step: all
+            # axes share dk, so per-axis k^2 is the 1-D spec grid. The
+            # (k1^2 + k2^2) table is kept 2-D so the mesh path can shard
+            # its rows over the combined space axis; kernels flatten it.
             s1d = mxu_fft.permute_spec(build_spec_grid(p.dx, 1, p.size), 1)
             spec_axis0 = jnp.asarray(s1d, self.rdtype)
-            spec_axis12 = jnp.asarray(
-                (s1d[:, None] + s1d[None, :]).reshape(-1), self.rdtype
-            )
+            spec_axis12 = jnp.asarray(s1d[:, None] + s1d[None, :], self.rdtype)
+            cutoff = p.k2_cutoff * self.k2_max
+            if self.sharded_engine:
+                from .parallel.pfft_fused import ShardedEngine
+
+                names = (
+                    spatial_axis
+                    if isinstance(spatial_axis, tuple)
+                    else (spatial_axis,)
+                )
+                self.engine = ShardedEngine(
+                    names, p.dims, self.poisson_coeff, cutoff,
+                    self.density_prefactor,
+                )
+            else:
+                self.engine = mxu_fft.SingleEngine(
+                    p.dims, self.poisson_coeff, cutoff, self.density_prefactor
+                )
+        if self.sharded_engine:
+            # the engine path synthesizes every k-space constant from the
+            # separable tables; don't materialize two N^3 grids on device
+            # (MeshStepper's consts specs expect these placeholders)
+            spec = np.zeros((1,) * p.dims)
+            mask = np.zeros((1,) * p.dims)
         self.consts = StepConsts(
             spec_grid=jnp.asarray(spec, self.rdtype),
             alias_mask=jnp.asarray(mask, self.rdtype),
@@ -318,6 +368,8 @@ class Stepper:
     def _fwd(self, x):
         """Forward ortho FFT (canonical -> k layout)."""
         if self.spatial_axis is not None:
+            if self.sharded_engine:
+                return self.engine.forward(x)
             from .parallel import pfft
 
             if self._pencil:
@@ -334,6 +386,8 @@ class Stepper:
     def _inv(self, xk):
         """Inverse ortho FFT (k layout -> canonical)."""
         if self.spatial_axis is not None:
+            if self.sharded_engine:
+                return self.engine.inverse(xk)
             from .parallel import pfft
 
             if self._pencil:
@@ -371,6 +425,13 @@ class Stepper:
                 self._flat_coeff(coeff, zb.shape[0]), p.size, p.dx
             )
             return restore(pk.kinetic_phase(zb, scale, p.size, p.dims))
+        if self.sharded_engine:
+            # the full k^2 grid is never materialized as a const on the
+            # mesh path; synthesize this shard's slice from the separable
+            # tables (spec_axis0 full local Z axis + this device's rows of
+            # the 2-D spec_axis12 table) — XLA fuses the broadcast-add
+            k2 = consts.spec_axis0[:, None, None] + consts.spec_axis12[None]
+            return apply_kinetic_phase(psik, k2, self._bcast(coeff))
         return apply_kinetic_phase(psik, consts.spec_grid, self._bcast(coeff))
 
     def _apply_potential(self, psi, phi, coeff):
@@ -506,6 +567,12 @@ class Stepper:
         are defined on the full spectrum).
         """
         consts = consts if consts is not None else self.consts
+        if self.sharded_engine:
+            # Sharded fused solve: density synthesized in-register over the
+            # local (Y,X) axes, Z roundtrip with the in-register Poisson
+            # map, real inverse — 3 kernels + 2 all_to_alls; rho/rho_k/
+            # phi_k never exist in HBM (pfft_fused.poisson_solve).
+            return self.engine.poisson_solve(psi, consts)
         # MXU engine path: real-input forward + real-output inverse Pallas
         # transforms (mxu_fft real variants) with the engine-permuted k^2
         # constants; keeps the whole step graph on Pallas kernels (a mixed
@@ -667,18 +734,9 @@ class Stepper:
         # never exist in HBM and max|phi| + the alias/norm reductions ride
         # the kernels (|psik| is invariant under _finalize_step's phase).
         if self.fuse_phases:
-            from .ops import mxu_fft
-
             dkd = jnp.asarray(p.dk**p.dims, self.rdtype)
-            psi, psik, ns, am, phi_max = mxu_fft.fused_step_3d(
-                state.psik,
-                consts.spec_axis0,
-                consts.spec_axis12,
-                state.pending_k + kcoeff,
-                vcoeff,
-                self.poisson_coeff,
-                p.k2_cutoff * self.k2_max,
-                self.density_prefactor,
+            psi, psik, ns, am, phi_max = self.engine.fused_step(
+                state.psik, consts, state.pending_k + kcoeff, vcoeff
             )
             phi_max = phi_max.astype(self.tdtype)
             nrm = ns * dkd
@@ -733,18 +791,10 @@ class Stepper:
         )
 
         if self.fuse_phases:
-            from .ops import mxu_fft
-
             dkd = jnp.asarray(p.dk**p.dims, self.rdtype)
-            psi, psik, ns, am, phi_max = mxu_fft.fused_step_3d(
-                state.psik,
-                consts.spec_axis0,
-                consts.spec_axis12,
-                state.pending_k + kcoeff,
+            psi, psik, ns, am, phi_max = self.engine.fused_step(
+                state.psik, consts, state.pending_k + kcoeff,
                 vcoeffs[0] + vcoeffs[1],
-                self.poisson_coeff,
-                p.k2_cutoff * self.k2_max,
-                self.density_prefactor,
             )
             phi_max = phi_max.astype(self.tdtype)
             nrm = ns * dkd
@@ -821,8 +871,6 @@ class Stepper:
         The carrier is a SimState whose psik leaf holds the planar
         mixed-space pair (q_re, q_im) with F_0(q) == true psik * the
         pending-kick phase; psi stays stale (lagged mode's lazy psi)."""
-        from .ops import mxu_fft
-
         p = self.params
         dkd = jnp.asarray(p.dk**p.dims, self.rdtype)
 
@@ -834,14 +882,8 @@ class Stepper:
                 # four-pass prefix applies the deferred closing kick and
                 # evaluates the potential bound without materializing
                 # psi(t) or phi(t) in HBM (the reference's ":497" solve).
-                sqr, sqi, pmax_now = mxu_fft.fused_step_exact_prefix(
-                    sqr,
-                    sqi,
-                    consts.spec_axis0,
-                    consts.spec_axis12,
-                    s.pending_k,
-                    self.poisson_coeff,
-                    self.density_prefactor,
+                sqr, sqi, pmax_now = self.engine.exact_prefix(
+                    sqr, sqi, consts, s.pending_k
                 )
                 _dt, is_dump, kcoeff, vcoeffs, t, tau, a = self._scalar_advance(
                     s, consts, phi_max=pmax_now
@@ -853,16 +895,8 @@ class Stepper:
                 )
                 kick_in = s.pending_k + kcoeff
             vcoeff = sum(vcoeffs[1:], vcoeffs[0])
-            qr2, qi2, ns, am, phi_max = mxu_fft.fused_step_3d_skewed(
-                sqr,
-                sqi,
-                consts.spec_axis0,
-                consts.spec_axis12,
-                kick_in,
-                vcoeff,
-                self.poisson_coeff,
-                p.k2_cutoff * self.k2_max,
-                self.density_prefactor,
+            qr2, qi2, ns, am, phi_max = self.engine.fused_step_skewed(
+                sqr, sqi, consts, kick_in, vcoeff
             )
             # ns/am describe the state ENTERING this iteration (the skew
             # computes step i's psik reductions inside step i+1's pass A).
@@ -922,8 +956,6 @@ class Stepper:
         late). Per step the SAME operations run, cyclically rotated, so
         trajectories equal _evolve_to_next_dump's to rounding; streams
         that never stepped keep their entry arrays bit-exactly."""
-        from .ops import mxu_fft
-
         p = self.params
         finished = state.current_dumps >= p.num_data_dumps
         batched = state.psi.ndim > p.dims
@@ -933,7 +965,7 @@ class Stepper:
             return jnp.any(self._active(s, finished))
 
         def evolve() -> SimState:
-            qr, qi = mxu_fft.skew_enter(state.psik, p.dims)
+            qr, qi = self.engine.skew_enter(state.psik)
             n_steps0 = state.n_steps
             carrier = dataclasses.replace(state, psik=(qr, qi))
             final = jax.lax.while_loop(
@@ -941,13 +973,8 @@ class Stepper:
             )
 
             fqr, fqi = final.psik
-            psi, psik, ns, am = mxu_fft.skew_exit(
-                fqr,
-                fqi,
-                consts.spec_axis0,
-                consts.spec_axis12,
-                final.pending_k,
-                p.k2_cutoff * self.k2_max,
+            psi, psik, ns, am = self.engine.skew_exit(
+                fqr, fqi, consts, final.pending_k
             )
             stepped = final.n_steps > n_steps0
             mass = am * dkd
@@ -1105,20 +1132,17 @@ class Stepper:
         values measures the steady-state per-step cost including the loop
         carrier representation (the skewed path's planar mixed-space q)."""
         if self.skew:
-            from .ops import mxu_fft
-
             p = self.params
             finished = state.current_dumps >= p.num_data_dumps
             batched = state.psi.ndim > p.dims
-            qr, qi = mxu_fft.skew_enter(state.psik, p.dims)
+            qr, qi = self.engine.skew_enter(state.psik)
             body = self._make_skew_body(consts, finished, batched)
             final = jax.lax.fori_loop(
                 0, n, lambda i, s: body(s), dataclasses.replace(state, psik=(qr, qi))
             )
             fqr, fqi = final.psik
-            psi, psik, _ns, _am = mxu_fft.skew_exit(
-                fqr, fqi, consts.spec_axis0, consts.spec_axis12,
-                final.pending_k, p.k2_cutoff * self.k2_max,
+            psi, psik, _ns, _am = self.engine.skew_exit(
+                fqr, fqi, consts, final.pending_k
             )
             return dataclasses.replace(
                 final, psi=psi, psik=psik,

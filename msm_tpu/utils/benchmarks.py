@@ -315,14 +315,29 @@ def main(args) -> None:
     if metric == "scaling":
         print(json.dumps(run_scaling_bench(size=args.size, steps=args.steps)))
         return
-    print(
-        json.dumps(
-            run_kdk_bench(
-                args.size,
-                args.dims,
-                args.streams or 1,
-                args.steps,
-                dt_mode=getattr(args, "dt_mode", "lagged"),
+    dt_mode = getattr(args, "dt_mode", "both")
+    if dt_mode != "both":
+        print(
+            json.dumps(
+                run_kdk_bench(
+                    args.size, args.dims, args.streams or 1, args.steps,
+                    dt_mode=dt_mode,
+                )
             )
         )
+        return
+    # Both dt modes in one run: the headline stays the lagged production
+    # fast path; the reference-parity exact mode (two Poisson solves per
+    # step — the semantics the reference actually has) rides along as a
+    # sub-record with its own roofline fraction (BASELINE.md documents the
+    # 2x pass-count floor between the two).
+    out = run_kdk_bench(
+        args.size, args.dims, args.streams or 1, args.steps, dt_mode="lagged"
     )
+    exact = run_kdk_bench(
+        args.size, args.dims, args.streams or 1, args.steps, dt_mode="exact"
+    )
+    out["exact_dt"] = {
+        k: exact[k] for k in ("value", "vs_baseline", "steps_per_s")
+    }
+    print(json.dumps(out))

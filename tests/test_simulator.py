@@ -468,3 +468,35 @@ delta = 10
     ma.pop("wall_time_ms"), mb.pop("wall_time_ms")
     assert ma["n_steps"] == mb["n_steps"] >= 3
     assert ma == mb
+
+
+def test_mesh_interval_block_matches_single(tmp_path, monkeypatch):
+    """Interval blocking on a device MESH (MeshStepper.evolve_intervals):
+    kblock>1 over the 8-virtual-device mesh produces dumps, potentials and
+    manifests identical to the one-interval mesh loop (VERDICT r2 item 2).
+    Runs the generic (jnp.fft pencil) path; the engine path's interval
+    loop is covered by test_sharded_engine.py."""
+    import dataclasses
+    import json
+
+    toml = dataclasses.replace(
+        _toml(tmp_path, seeds="[2, 5]", dumps=4, size=16, name="meshblk"),
+        output_potential=True,
+    )
+    roots = {}
+    for k in ("1", "3"):
+        monkeypatch.setenv("MSM_INTERVAL_BLOCK", k)
+        roots[k] = str(tmp_path / f"meshk{k}")
+        simulator.run_config(
+            toml, dtype=jnp.complex128, data_root=roots[k], mesh="auto"
+        )
+    for d in ("meshblk", "meshblk-stream00002", "meshblk-stream00005"):
+        for i in range(5):
+            for field in ("psi", "potential"):
+                a = load_complex_pair(os.path.join(roots["1"], d, f"{field}_{i:05d}"))
+                b = load_complex_pair(os.path.join(roots["3"], d, f"{field}_{i:05d}"))
+                np.testing.assert_array_equal(a, b)
+        ma = json.load(open(os.path.join(roots["1"], d, "manifest.json")))
+        mb = json.load(open(os.path.join(roots["3"], d, "manifest.json")))
+        ma.pop("wall_time_ms"), mb.pop("wall_time_ms")
+        assert ma == mb
