@@ -359,6 +359,8 @@ class MeshStepper:
             payload_spec = P(None, STREAM_AXIS, *((None,) * dims))
             outs_specs = {name: P(None, None) for name in scalar_names}
             outs_specs.update({name: payload_spec for name in grid_names})
+            from ..stepper import _donate_enabled
+
             fn = jax.jit(
                 jax.shard_map(
                     body,
@@ -366,7 +368,9 @@ class MeshStepper:
                     in_specs=(self.state_specs, self.consts_specs),
                     out_specs=(self.state_specs, outs_specs),
                     check_vma=False,
-                )
+                ),
+                # input state donated, same contract as Stepper.evolve_intervals
+                donate_argnums=(0,) if _donate_enabled() else (),
             )
             self._interval_jits[key] = fn
         return fn(state, self.consts)

@@ -156,15 +156,20 @@ def _interval_block_k(params, n_batch: int, dtype, stepper) -> int:
 def _speculation_ok(params, n_batch: int, dtype, kblock: int) -> bool:
     """Whether dispatching block i+1 before fetching block i fits memory.
 
-    Speculation keeps TWO interval programs (psi+psik state each) plus two
-    blocks' stacked dump payloads live; past ~4 GB of live pytrees the
+    Each interval dispatch DONATES its input state (evolve_intervals), so
+    speculation keeps ONE in-place psi+psik state plus two blocks' stacked
+    dump payloads live (round 2 kept two full states — donation is what
+    makes speculation affordable at 512^3); past ~4 GB of live pytrees the
     dispatch-queue allocator stalls (CLAUDE.md, measured at 512^3). Budget
     via MSM_SPECULATE_MB (default 3072); below it the driver overlaps
     transfers+writes with the next block's compute, above it blocks are
     dispatched synchronously after the fetch."""
+    from .stepper import _donate_enabled
+
     grid = n_batch * int(np.prod(params.shape)) * jnp.dtype(dtype).itemsize
     payload = kblock * grid * (3 if params.output_potential else 2) // 2
-    live = 2 * (2 * grid) + 2 * payload
+    states = 1 if _donate_enabled() else 2
+    live = states * (2 * grid) + 2 * payload
     budget = float(os.environ.get("MSM_SPECULATE_MB", "3072")) * 2**20
     return live <= budget
 
@@ -585,6 +590,9 @@ def run_single(
             # no-op dispatch — the evolve while_loop's condition fails
             # immediately on finished/aliased states and snap no-ops.
             # Big states dispatch synchronously instead (_speculation_ok).
+            # NB: the dispatch DONATES `state` (stepper.evolve_intervals),
+            # so from here on this iteration reads only `outs`; the
+            # finished check below is outs-based for the same reason.
             speculative = _advance(state) if speculate else None
             # full-stack host fetches (never index a device array eagerly:
             # on the tunneled backend every eager op is a remote compile)
@@ -632,7 +640,16 @@ def run_single(
                         f"({params.sim_name}) dump {idx}/{params.num_data_dumps} "
                         f"t = {scalars['time']:.6g}"
                     )
-            if aborted or not stepper.not_finished(state):
+            finished = aborted or (
+                int(host["current_dumps"][-1]) >= params.num_data_dumps
+                or bool(host["aliased"][-1])
+            )
+            if finished:
+                if speculative is not None:
+                    # the speculative dispatch consumed (donated) `state`;
+                    # its output IS the final state (a finished/aliased
+                    # state's evolve is a bit-exact no-op)
+                    state, _ = speculative
                 inflight = None
             else:
                 inflight = speculative if speculate else _advance(state)
@@ -853,6 +870,8 @@ def run_config(
                 # dispatch block i+1 before block i's host fetches (same
                 # speculation-safety argument as the one-interval loop);
                 # big states dispatch synchronously (_speculation_ok)
+                # NB: the dispatch DONATES `state`; this iteration reads
+                # only the payload view from here on (finished check incl.)
                 speculative = _advance_blocks(state) if speculate else None
                 view = _BlockedOutsView(outs, n, want_pot)
                 owned = set(view.owned)
@@ -931,7 +950,15 @@ def run_config(
                         progress.update(
                             done, sim_time=float(view.scalar("time")[j][:n].min())
                         )
-                if not stepper.not_finished(state):
+                dumps_last = view.scalar("current_dumps")[-1]
+                al_last = view.scalar("aliased")[-1]
+                if bool(
+                    np.all((dumps_last >= mft_params.num_data_dumps) | al_last)
+                ):
+                    if speculative is not None:
+                        # adopt the no-op speculative output: its input
+                        # (the final state) was donated to it
+                        state, _ = speculative
                     inflight = None
                 else:
                     inflight = (

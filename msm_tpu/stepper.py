@@ -105,6 +105,12 @@ class StepConsts:
     spec_axis12: "jax.Array | None" = None
 
 
+def _donate_enabled() -> bool:
+    """Whether interval-block dispatches donate their input state
+    (kill-switch for backends without buffer-aliasing support)."""
+    return os.environ.get("MSM_DONATE", "1") not in ("0", "false")
+
+
 class Stepper:
     """Compiled stepper for one resolved configuration.
 
@@ -1110,14 +1116,24 @@ class Stepper:
         return jax.lax.scan(body, state, None, length=k)
 
     def evolve_intervals(self, state: SimState, k: int, with_potential: bool = False):
-        """Jitted k-interval advance; see `_evolve_intervals`."""
+        """Jitted k-interval advance; see `_evolve_intervals`.
+
+        The input state is DONATED: each dispatch's input is the previous
+        dispatch's output and the drivers read only the `outs` payload
+        (plus the final returned state), so XLA reuses the input buffers
+        for the output — one full state resident instead of two, which is
+        what makes speculative dispatch affordable at 512^3
+        (_speculation_ok). MSM_DONATE=0 opts out.
+        """
         key = (int(k), bool(with_potential))
         fn = self._interval_jits.get(key)
         if fn is None:
+            donate = (0,) if _donate_enabled() else ()
             fn = jax.jit(
                 functools.partial(
                     self._evolve_intervals, k=key[0], with_potential=key[1]
-                )
+                ),
+                donate_argnums=donate,
             )
             self._interval_jits[key] = fn
         return fn(state, self.consts)
