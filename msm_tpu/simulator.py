@@ -161,16 +161,19 @@ def _speculation_ok(params, n_batch: int, dtype, kblock: int) -> bool:
     dump payloads live (round 2 kept two full states — donation is what
     makes speculation affordable at 512^3); past ~4 GB of live pytrees the
     dispatch-queue allocator stalls (CLAUDE.md, measured at 512^3). Budget
-    via MSM_SPECULATE_MB (default 3072); below it the driver overlaps
-    transfers+writes with the next block's compute, above it blocks are
-    dispatched synchronously after the fetch."""
+    via MSM_SPECULATE_MB (default 4096 with donation — validated on chip:
+    a 512^3 run speculates at exactly 4 GiB live without stalling; 3072
+    without); below it the driver overlaps transfers+writes with the next
+    block's compute, above it blocks are dispatched synchronously after
+    the fetch."""
     from .stepper import _donate_enabled
 
     grid = n_batch * int(np.prod(params.shape)) * jnp.dtype(dtype).itemsize
     payload = kblock * grid * (3 if params.output_potential else 2) // 2
     states = 1 if _donate_enabled() else 2
     live = states * (2 * grid) + 2 * payload
-    budget = float(os.environ.get("MSM_SPECULATE_MB", "3072")) * 2**20
+    default_mb = 4096 if states == 1 else 3072
+    budget = float(os.environ.get("MSM_SPECULATE_MB", default_mb)) * 2**20
     return live <= budget
 
 

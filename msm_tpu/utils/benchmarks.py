@@ -222,6 +222,8 @@ def run_scaling_bench(size: int = 64, dims: int = 3, steps: int = 5) -> dict:
     on the CPU virtual-device mesh it exercises the same collective
     structure (numbers then measure XLA CPU collectives, not ICI).
     """
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -229,11 +231,17 @@ def run_scaling_bench(size: int = 64, dims: int = 3, steps: int = 5) -> dict:
 
     from .. import config as cfg
     from ..models.ics import build_ics
+    from ..ops import fft as fft_ops
     from ..parallel.mesh import SPACE2_AXIS, SPACE_AXIS, STREAM_AXIS
     from ..parallel.sharded import MeshStepper
     from .cache import enable_compilation_cache
 
     enable_compilation_cache()
+    # on a real pod slice the production path is the sharded fused engine
+    # (MeshStepper picks it whenever the mode resolves to mxu and the grid
+    # divides the space devices); match the kdk bench's default
+    if os.environ.get("MSM_FFT") is None:
+        fft_ops.set_default_mode("auto")
     devices = jax.devices()
     points = []
     n = 1

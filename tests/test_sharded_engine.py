@@ -182,3 +182,61 @@ def test_sharded_engine_gating():
         assert ms3.consts.poisson_map is None
     finally:
         fft_ops.set_default_mode("xla")
+
+
+def test_sharded_engine_production_driver(tmp_path, monkeypatch):
+    """The PRODUCTION driver (run_config mesh=auto -> MeshStepper engine
+    path, interval-blocked mesh evolve, dump gather + manifests) over the
+    sharded fused engine matches the single-device engine run dump for
+    dump."""
+    import json
+    import os
+
+    from msm_tpu import simulator
+
+    p = _tuned_params(dumps=2)
+    toml = cfg.parse_toml_dict(
+        dict(
+            axis_length=30.0,
+            final_sim_time=p.final_sim_time,
+            cfl=0.5,
+            num_data_dumps=2,
+            total_mass=1e8,
+            sim_name="engprod",
+            k2_cutoff=0.95,
+            alias_threshold=0.5,
+            dims=3,
+            size=128,
+            hbar_=0.02,
+            ics={"type": "SphericalTophat", "radius": 5.0, "slope": 50,
+                 "delta": 10},
+            sampling={"seeds": "[1]", "scheme": "Wigner"},
+        )
+    )
+    from msm_tpu.io.npy import load_complex_pair
+
+    monkeypatch.setenv("MSM_INTERVAL_BLOCK", "2")
+    fft_ops.set_default_mode("mxu")
+    try:
+        simulator.run_config(
+            toml, dtype=jnp.complex128, data_root=str(tmp_path / "mesh"),
+            mesh="auto",
+        )
+        simulator.run_config(
+            toml, dtype=jnp.complex128, data_root=str(tmp_path / "single"),
+            mesh="none",
+        )
+    finally:
+        fft_ops.set_default_mode("xla")
+    for name in ("engprod", "engprod-stream00001"):
+        for dump in range(3):
+            a = load_complex_pair(os.path.join(tmp_path, "mesh", name, f"psi_{dump:05d}"))
+            b = load_complex_pair(
+                os.path.join(tmp_path, "single", name, f"psi_{dump:05d}")
+            )
+            np.testing.assert_allclose(a, b, atol=1e-12)
+        ma = json.load(open(os.path.join(tmp_path, "mesh", name, "manifest.json")))
+        mb = json.load(open(os.path.join(tmp_path, "single", name, "manifest.json")))
+        ma.pop("wall_time_ms"), mb.pop("wall_time_ms")
+        assert ma == mb
+        assert ma["current_dumps"] == 2
