@@ -240,3 +240,37 @@ def test_sharded_engine_production_driver(tmp_path, monkeypatch):
         ma.pop("wall_time_ms"), mb.pop("wall_time_ms")
         assert ma == mb
         assert ma["current_dumps"] == 2
+
+
+def test_sharded_engine_radix2(rng):
+    """R=2 (size 256) coverage: the radix butterflies' sharded s12 table
+    slicing follows STORED engine order (residue-major chunks), which only
+    differs from natural order when R > 1. One step on a (1,2,1) mesh must
+    be bit-exact vs single-device. ~3 min in interpret mode."""
+    base = dict(
+        axis_length=30.0, final_sim_time=1e9, cfl=0.5, num_data_dumps=1,
+        total_mass=1e8, sim_name="r2", k2_cutoff=0.95, alias_threshold=1e9,
+        dims=3, size=256, hbar_=0.05,
+        ics={"type": "SphericalTophat", "radius": 5.0, "slope": 50, "delta": 10},
+    )
+    p = list(cfg.iter_stream_parameters(cfg.parse_toml_dict(base)))[-1]
+    psi = rng.standard_normal((256,) * 3) + 1j * rng.standard_normal((256,) * 3)
+    psi /= np.sqrt(np.sum(np.abs(psi) ** 2) * p.dx**3)
+    fft_ops.set_default_mode("mxu")
+    try:
+        st = Stepper(p, jnp.complex128, dt_mode="lagged")
+        r = jax.block_until_ready(st.step(st.init_state(psi)))
+        devs = np.asarray(jax.devices()[:2]).reshape(1, 2, 1)
+        ms = MeshStepper(
+            p, Mesh(devs, ("stream", "x", "y")), jnp.complex128, dt_mode="lagged"
+        )
+        assert ms.stepper.sharded_engine
+        m = jax.block_until_ready(ms.step(ms.init_state(psi[None])))
+        np.testing.assert_allclose(
+            np.asarray(m.psik)[0], np.asarray(r.psik), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(m.psi)[0], np.asarray(r.psi), atol=1e-12
+        )
+    finally:
+        fft_ops.set_default_mode("xla")
