@@ -110,6 +110,7 @@ class AsyncGridWriter:
         self._pool = ThreadPoolExecutor(max_workers=workers)
         self._slots = threading.Semaphore(max_concurrent)
         self._pending: list[Future] = []
+        self._failure: BaseException | None = None
         self._lock = threading.Lock()
 
     def submit(self, path_base: str, arr: np.ndarray) -> None:
@@ -130,13 +131,34 @@ class AsyncGridWriter:
 
         fut = self._pool.submit(work)
         with self._lock:
-            self._pending = [f for f in self._pending if not f.done()]
-            self._pending.append(fut)
+            # Prune completed futures, but never drop a failure: the first
+            # exception is stashed and re-raised at wait()/close() so a
+            # failed write/upload cannot pass silently just because later
+            # submits happened to prune its future.
+            kept = []
+            for f in self._pending:
+                if not f.done():
+                    kept.append(f)
+                    continue
+                exc = f.exception()
+                if exc is not None and self._failure is None:
+                    self._failure = exc
+            kept.append(fut)
+            self._pending = kept
 
     def wait(self) -> None:
-        """Block until all queued writes have completed (raises on failure)."""
+        """Block until all queued writes have completed (raises on failure,
+        including failures of writes already pruned from the pending list)."""
         with self._lock:
             pending, self._pending = self._pending, []
+            failure, self._failure = self._failure, None
+        if failure is not None:
+            for fut in pending:  # drain before raising; keep pool consistent
+                try:
+                    fut.result()
+                except BaseException:
+                    pass
+            raise failure
         for fut in pending:
             fut.result()
 

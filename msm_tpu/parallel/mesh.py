@@ -96,18 +96,15 @@ def addressable_batch_indices(arr) -> Sequence[int]:
     return sorted(idx)
 
 
-def write_owner_indices(arr) -> Sequence[int]:
-    """Leading-axis indices this process should WRITE.
-
-    When grids are replicated over space axes (after
-    `MeshStepper.gather_spatial`) several processes may hold the same
-    stream; ownership goes to the lowest process index holding it, so each
-    dump is written exactly once across the job.
-    """
-    n = arr.shape[0]
+def _owner_indices(arr, axis: int) -> Sequence[int]:
+    """Stream indices (along `axis`) this process should WRITE: ownership
+    goes to the lowest process index holding each index, so every dump is
+    written exactly once across the job even when grids are replicated
+    over space axes (after `MeshStepper.gather_spatial`)."""
+    n = arr.shape[axis]
     owners: dict[int, int] = {}
     for dev, idx in arr.sharding.devices_indices_map(arr.shape).items():
-        sl = idx[0]
+        sl = idx[axis]
         rng = range(*sl.indices(n)) if isinstance(sl, slice) else [int(sl)]
         for i in rng:
             p = dev.process_index
@@ -117,37 +114,42 @@ def write_owner_indices(arr) -> Sequence[int]:
     return sorted(i for i, p in owners.items() if p == me)
 
 
-def fetch_batch_slices(arr, indices: Sequence[int]):
-    """Fetch {i: np.ndarray} for owned leading-axis slices from local shards."""
+def _fetch_slices(arr, indices: Sequence[int], axis: int):
+    """Fetch {i: np.ndarray} of per-stream slices (along `axis`) from this
+    process's local shards. Axes other than `axis` must be unsharded."""
     import numpy as _np
 
     out = {}
     want = set(indices)
     for shard in arr.addressable_shards:
-        sl = shard.index[0]
-        start = sl.indices(arr.shape[0])[0] if isinstance(sl, slice) else int(sl)
-        data = _np.asarray(shard.data)
-        for j in range(data.shape[0]):
+        sl = shard.index[axis]
+        start = (
+            sl.indices(arr.shape[axis])[0] if isinstance(sl, slice) else int(sl)
+        )
+        data = None
+        for j in range(shard.data.shape[axis]):
             gi = start + j
             if gi in want and gi not in out:
-                out[gi] = data[j]
+                if data is None:
+                    data = _np.asarray(shard.data)
+                out[gi] = data[j] if axis == 0 else data[:, j]
     return out
+
+
+def write_owner_indices(arr) -> Sequence[int]:
+    """Leading-axis (stream) indices this process should WRITE."""
+    return _owner_indices(arr, 0)
+
+
+def fetch_batch_slices(arr, indices: Sequence[int]):
+    """Fetch {i: np.ndarray} for owned leading-axis slices from local shards."""
+    return _fetch_slices(arr, indices, 0)
 
 
 def write_owner_indices_axis1(arr) -> Sequence[int]:
     """`write_owner_indices` for a STACKED payload: the stream axis is
     axis 1 (axis 0 is the interval-block scan axis)."""
-    n = arr.shape[1]
-    owners: dict[int, int] = {}
-    for dev, idx in arr.sharding.devices_indices_map(arr.shape).items():
-        sl = idx[1]
-        rng = range(*sl.indices(n)) if isinstance(sl, slice) else [int(sl)]
-        for i in rng:
-            p = dev.process_index
-            if i not in owners or p < owners[i]:
-                owners[i] = p
-    me = jax.process_index()
-    return sorted(i for i, p in owners.items() if p == me)
+    return _owner_indices(arr, 1)
 
 
 def fetch_stacked_slices(arr, indices: Sequence[int]):
@@ -156,21 +158,7 @@ def fetch_stacked_slices(arr, indices: Sequence[int]):
 
     Requires the payload to be unsharded along axis 0 and the space axes
     (the mesh interval-block path all_gathers those first)."""
-    import numpy as _np
-
-    out = {}
-    want = set(indices)
-    for shard in arr.addressable_shards:
-        sl = shard.index[1]
-        start = sl.indices(arr.shape[1])[0] if isinstance(sl, slice) else int(sl)
-        data = None
-        for j in range(shard.data.shape[1]):
-            gi = start + j
-            if gi in want and gi not in out:
-                if data is None:
-                    data = _np.asarray(shard.data)
-                out[gi] = data[:, j]
-    return out
+    return _fetch_slices(arr, indices, 1)
 
 
 def host_local_value(arr):

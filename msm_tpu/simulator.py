@@ -909,12 +909,20 @@ def run_config(
                         if al[i]:
                             if not reported_alias[i]:
                                 reported_alias[i] = True
-                                if i in owned:
+                                # The strict abort must raise on EVERY
+                                # process (the alias scalars are replicated):
+                                # an owner-only raise leaves the peers
+                                # blocked in the next collective dispatch —
+                                # a distributed hang instead of an abort.
+                                # Non-strict logging + manifest stay
+                                # owner-only.
+                                if i in owned or strict_alias:
                                     _report_aliasing(
                                         all_params[i],
                                         float(view.scalar("alias_mass")[j][i]),
                                         strict_alias,
                                     )
+                                if i in owned:
                                     r.write_manifest(row_scalars(i))
                             continue
                         if not jd[i] or i not in owned:
@@ -1020,6 +1028,21 @@ def run_config(
                         scalars["max_norm_err"] = err
                     scalars["wall_time_ms"] = (_time.monotonic() - t_start) * 1e3
                     r.write_manifest(scalars)
+            if strict_alias:
+                # Strict abort must fire on EVERY process, not just the
+                # stream's owner (the aliased/alias_mass scalars are
+                # replicated): an owner-only raise leaves the peers blocked
+                # in the next collective dispatch. Owners raised inside the
+                # loop above; this covers the streams this process does not
+                # own.
+                owned_set = set(view.owned)
+                for i in range(n):
+                    if aliased[i] and not reported_alias[i] and i not in owned_set:
+                        _report_aliasing(
+                            all_params[i],
+                            float(view.scalar("alias_mass")[i]),
+                            True,
+                        )
             if just_dumped.any():
                 dump_potentials(just_dumped & ~aliased, dumps_np, view.owned)
                 combine_dump(

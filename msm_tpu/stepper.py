@@ -98,7 +98,8 @@ class StepConsts:
     poisson_map: "jax.Array | None" = None
     # Separable k^2 tables in ENGINE order for the 5-pass fused step
     # (mxu_fft.fused_step_3d): spec_axis0[p0] = k0^2 (size,) and
-    # spec_axis12[j] = k1^2 + k2^2 flattened (size^2,). The kinetic phase,
+    # spec_axis12[j1, j2] = k1^2 + k2^2 stored 2-D (size, size) — sharded
+    # runs slice it per shard (parallel/pfft_fused.py). The kinetic phase,
     # Poisson map and alias mask are synthesized from these in-register —
     # no full-grid constant reads. None outside the fused-phase path.
     spec_axis0: "jax.Array | None" = None
@@ -325,12 +326,13 @@ class Stepper:
         # dispatch round-trips a remote compile per op, so the driver path
         # must consist solely of compiled calls + host transfers.
         self._jit_step = jax.jit(self._step)
-        # NB: the evolve entry points deliberately do NOT donate the input
-        # state — the driver's speculative interval dispatch re-reads it
-        # (simulator.run_single), and run_single returns it. Consequence:
-        # ~2 full states stay resident per dispatch, so 512^3 ensembles
-        # need >= 2 chips (stream-sharded mesh); one v5e holds one 512^3
-        # stream's working set.
+        # NB: the one-interval evolve entries do NOT donate their input
+        # (the driver's kblock==1 loop re-reads it), but the interval-block
+        # path (evolve_intervals) DOES donate under MSM_DONATE=1 (default):
+        # after a blocked dispatch the driver reads only the stacked outs
+        # payload, never the donated state — do not add reads of it. The
+        # donation is what halves the resident set and makes speculative
+        # dispatch affordable at 512^3 (simulator._speculation_ok).
         self._jit_evolve = jax.jit(self._evolve_to_next_dump)
         self._interval_jits: dict = {}
         self._jit_potential = jax.jit(self._potential)

@@ -100,16 +100,32 @@ def _ffmpeg_available() -> bool:
         return shutil.which("ffmpeg") is not None
 
 
+def _ffmpeg_exe() -> Optional[str]:
+    """Path to an ffmpeg binary: imageio-ffmpeg's bundled one if the module
+    imports (its binary is NOT on PATH), else a system `ffmpeg`."""
+    import shutil
+
+    try:
+        import imageio_ffmpeg
+
+        return imageio_ffmpeg.get_ffmpeg_exe()
+    except Exception:
+        return shutil.which("ffmpeg")
+
+
 def _encode_mp4_ffmpeg(frames: list[str], out_path: str, fps: int) -> None:
-    """Encode png frames to mp4 via the system ffmpeg binary (used when the
-    imageio-ffmpeg plugin is absent but ffmpeg itself is on PATH)."""
+    """Encode png frames to mp4 by invoking an ffmpeg binary directly (used
+    when imageio's mp4 plugin path fails, e.g. a plugin/kwarg mismatch)."""
     import os as _os
     import subprocess
 
+    exe = _ffmpeg_exe()
+    if exe is None:
+        raise FileNotFoundError("no ffmpeg binary available")
     pattern = os.path.join(_os.path.dirname(frames[0]), "frame_%05d.png")
     subprocess.run(
         [
-            "ffmpeg", "-y", "-framerate", str(fps), "-i", pattern,
+            exe, "-y", "-framerate", str(fps), "-i", pattern,
             "-pix_fmt", "yuv420p", out_path,
         ],
         check=True,
@@ -143,13 +159,21 @@ def density_movie(
     with __import__("tempfile").TemporaryDirectory() as tmp:
         frames = density_movie_frames(sim_dir, tmp, kspace, max_dumps)
         if want_mp4:
+            images = [iio.imread(f) for f in frames]
             try:
-                images = [iio.imread(f) for f in frames]
                 iio.imwrite(out_path, images, fps=fps)
+                return out_path
             except Exception:
-                _encode_mp4_ffmpeg(frames, out_path, fps)
-            return out_path
-        images = [iio.imread(f) for f in frames]
+                try:
+                    _encode_mp4_ffmpeg(frames, out_path, fps)
+                    return out_path
+                except Exception:
+                    # no working encoder after all (e.g. imageio-ffmpeg
+                    # imports but ships no binary): fall back to GIF like
+                    # the no-ffmpeg path instead of crashing
+                    out_path = out_path[:-4] + ".gif"
+        else:
+            images = [iio.imread(f) for f in frames]
     iio.imwrite(out_path, images, duration=1000 // fps, loop=0)
     return out_path
 

@@ -46,6 +46,28 @@ def test_async_writer(tmp_path, rng):
         np.testing.assert_allclose(npy.load_complex_pair(base), arr)
 
 
+def test_async_writer_surfaces_pruned_failure(tmp_path, rng):
+    """A failed task must raise at wait() even if later submits pruned its
+    completed future from the pending list (silent-data-loss regression:
+    a give-up upload followed by more dumps must not exit 0)."""
+    import time
+
+    def boom():
+        raise IOError("upload gave up")
+
+    arr = rng.standard_normal((4, 4)) + 0j
+    with pytest.raises(IOError, match="upload gave up"):
+        with npy.AsyncGridWriter(max_concurrent=4, workers=2) as w:
+            w.submit_task(boom)
+            time.sleep(0.2)  # let the failure complete before the prune
+            for i in range(8):
+                w.submit(str(tmp_path / f"ok_{i:05d}"), arr)
+            w.wait()
+    # the successful writes still landed
+    for i in range(8):
+        assert os.path.exists(str(tmp_path / f"ok_{i:05d}") + "_real")
+
+
 def test_dump_paths(tmp_path):
     d = npy.dump_dir("mysim", str(tmp_path))
     assert os.path.isdir(d)
