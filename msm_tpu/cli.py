@@ -80,7 +80,7 @@ def cmd_simulate(args) -> int:
         strict_alias=args.strict_alias,
         online_synthesis=args.online_synthesis,
         resume=args.resume,
-        dt_mode="lagged" if args.fast_dt else "exact",
+        dt_mode="lagged" if args.fast_dt else args.dt_mode,
         debug_checks=args.debug_checks,
         check_eps=args.check_eps,
         profile_dir=args.profile_dir,
@@ -172,10 +172,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="resume every run from its checkpoint manifest + last dump",
     )
     sim.add_argument(
+        "--dt-mode",
+        choices=("optimistic", "exact", "lagged"),
+        default="optimistic",
+        help="adaptive-dt semantics. optimistic (default): propose dt from "
+        "the carried max|phi| and VALIDATE it against the step's own fresh "
+        "midpoint potential, replaying the rare violating step — the CFL "
+        "bound holds against fresher data than the reference's pre-step "
+        "phi(t) at roughly half the exact mode's cost. exact: solve the "
+        "potential twice per step like the reference (update :497,:530). "
+        "lagged: bound dt with the previous step's potential, never "
+        "validated",
+    )
+    sim.add_argument(
         "--fast-dt",
         action="store_true",
-        help="bound dt with the previous step's potential (one Poisson "
-        "solve fewer per step; dt sequence differs from the reference)",
+        help="alias for --dt-mode lagged (kept for compatibility)",
     )
     sim.add_argument(
         "--mesh",

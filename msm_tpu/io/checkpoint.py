@@ -27,6 +27,7 @@ def write_manifest(
     n_steps: int = 0,
     wall_time_ms: float = 0.0,
     aliased: bool = False,
+    replays: int = 0,
     max_norm_err: Optional[float] = None,
     extra: Optional[dict[str, Any]] = None,
 ) -> None:
@@ -39,6 +40,8 @@ def write_manifest(
         "n_steps": int(n_steps),
         "wall_time_ms": float(wall_time_ms),
         "aliased": bool(aliased),
+        # optimistic-dt validation replays so far (0 in other dt modes)
+        "replays": int(replays),
     }
     if max_norm_err is not None:
         # running in-jit unitarity monitor (--debug-checks runs only)

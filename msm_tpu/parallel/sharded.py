@@ -139,6 +139,9 @@ class MeshStepper:
             norm0=self.scalar_spec,
             max_norm_err=self.scalar_spec,
             pending_k=self.scalar_spec,
+            dt_min=self.scalar_spec,
+            dt_max=self.scalar_spec,
+            replays=self.scalar_spec,
         )
         # Total over the StepConsts dataclass: every field MUST have an
         # explicit spec here, so a new const field cannot silently shard as
@@ -305,7 +308,9 @@ class MeshStepper:
     def evolve_to_next_dump(self, state: SimState, batched: bool = True) -> SimState:
         return self._evolve(state, self.consts)
 
-    def evolve_intervals(self, state: SimState, k: int, with_potential: bool = False):
+    def evolve_intervals(
+        self, state: SimState, k: int, with_potential: bool = False, combine=None
+    ):
         """Advance k dump intervals in ONE compiled mesh program (the
         dispatch-latency amortization of `Stepper.evolve_intervals`, on the
         mesh: one host round trip per k dumps instead of per dump).
@@ -321,12 +326,20 @@ class MeshStepper:
         """
         from jax import lax
 
+        if combine is not None:
+            # mesh runs keep the one-interval combiner loop (the stream
+            # axis is sharded; the in-payload reduction is a plain-Stepper
+            # fast path — simulator.run_config gates on the stepper type)
+            raise NotImplementedError(
+                "in-payload online synthesis is not supported on MeshStepper"
+            )
         key = (int(k), bool(with_potential))
         fn = self._interval_jits.get(key)
         if fn is None:
             scalar_names = (
                 "just_dumped", "aliased", "alias_mass", "max_norm_err",
-                "n_steps", "current_dumps", "time", "tau", "a",
+                "n_steps", "dt_min", "dt_max", "replays",
+                "current_dumps", "time", "tau", "a",
             )
             grid_names = ("psi_re", "psi_im") + (
                 ("pot",) if with_potential else ()

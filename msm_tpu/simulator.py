@@ -122,7 +122,9 @@ def storage_backend_for(
     return ObjectBackend.from_config(rs, root, writer=writer)
 
 
-def _interval_block_k(params, n_batch: int, dtype, stepper) -> int:
+def _interval_block_k(
+    params, n_batch: int, dtype, stepper, online: bool = False
+) -> int:
     """Dump intervals advanced+fetched per dispatch (stepper.evolve_intervals).
 
     Block size is compute-neutral (the scan body IS the per-interval
@@ -149,11 +151,17 @@ def _interval_block_k(params, n_batch: int, dtype, stepper) -> int:
     )
     if params.output_potential:
         per_interval += per_interval // 2
+    if online:
+        # the in-payload online-synthesis row: 6 real planes (= 3 complex
+        # grids) per interval (Stepper._combine_row)
+        per_interval += 3 * int(np.prod(params.shape)) * jnp.dtype(dtype).itemsize
     budget = float(os.environ.get("MSM_INTERVAL_BLOCK_MB", "512")) * 2**20
     return max(1, min(int(budget // max(per_interval, 1)), 32, max_k))
 
 
-def _speculation_ok(params, n_batch: int, dtype, kblock: int) -> bool:
+def _speculation_ok(
+    params, n_batch: int, dtype, kblock: int, donated: bool = True
+) -> bool:
     """Whether dispatching block i+1 before fetching block i fits memory.
 
     Each interval dispatch DONATES its input state (evolve_intervals), so
@@ -170,7 +178,7 @@ def _speculation_ok(params, n_batch: int, dtype, kblock: int) -> bool:
 
     grid = n_batch * int(np.prod(params.shape)) * jnp.dtype(dtype).itemsize
     payload = kblock * grid * (3 if params.output_potential else 2) // 2
-    states = 1 if _donate_enabled() else 2
+    states = 1 if (donated and _donate_enabled()) else 2
     live = states * (2 * grid) + 2 * payload
     default_mb = 4096 if states == 1 else 3072
     budget = float(os.environ.get("MSM_SPECULATE_MB", default_mb)) * 2**20
@@ -230,6 +238,18 @@ class _BlockedOutsView:
         return self._pot[i][j] if self._sliced else self._pot[j, i]
 
 
+def _telemetry_suffix(d_steps: int, dt_min: float, dt_max: float, replays: int) -> str:
+    """Per-dump step telemetry for --verbose lines (the reference's
+    per-update visibility, `simulation_object.rs:482,1210-1222`, recovered
+    from the in-jit payload with zero extra host syncs)."""
+    if d_steps <= 0:
+        return ""
+    s = f" [{d_steps} steps, dt {dt_min:.3g}..{dt_max:.3g}"
+    if replays:
+        s += f", replays {replays}"
+    return s + "]"
+
+
 def _state_scalars(state: SimState, i: Optional[int] = None) -> dict:
     def pick(x):
         x = np.asarray(x)
@@ -242,6 +262,7 @@ def _state_scalars(state: SimState, i: Optional[int] = None) -> dict:
         "a": float(pick(state.a)),
         "n_steps": int(pick(state.n_steps)),
         "aliased": bool(pick(state.aliased)),
+        "replays": int(pick(state.replays)),
     }
 
 
@@ -283,6 +304,9 @@ class _EnsembleHostView:
                 "aliased",
                 "alias_mass",
                 "max_norm_err",
+                "dt_min",
+                "dt_max",
+                "replays",
             )
         }
         # grids that span hosts are gathered to stream-only sharding first
@@ -316,6 +340,7 @@ class _EnsembleHostView:
             "a": float(self.scalar("a")[i]),
             "n_steps": int(self.scalar("n_steps")[i]),
             "aliased": bool(self.scalar("aliased")[i]),
+            "replays": int(self.scalar("replays")[i]),
         }
 
 
@@ -503,7 +528,7 @@ def run_single(
     resume: bool = False,
     strict_alias: bool = True,
     writer: Optional[AsyncGridWriter] = None,
-    dt_mode: str = "exact",
+    dt_mode: str = "optimistic",
     backend=None,
     use_remote_storage: bool = True,
     debug_checks: bool = False,
@@ -572,6 +597,7 @@ def run_single(
 
         kblock = _interval_block_k(params, 1, dtype, stepper)
         want_pot = bool(params.output_potential)
+        prev_steps = int(np.asarray(state.n_steps))
 
         def _advance(s):
             # One dispatch advances kblock dump intervals (lax.scan) and
@@ -611,6 +637,7 @@ def run_single(
                     "a": float(host["a"][j]),
                     "n_steps": int(host["n_steps"][j]),
                     "aliased": bool(al[j]),
+                    "replays": int(host["replays"][j]),
                 }
                 if al[j]:
                     run.write_manifest(scalars)
@@ -642,7 +669,14 @@ def run_single(
                     print(
                         f"({params.sim_name}) dump {idx}/{params.num_data_dumps} "
                         f"t = {scalars['time']:.6g}"
+                        + _telemetry_suffix(
+                            scalars["n_steps"] - prev_steps,
+                            float(host["dt_min"][j]),
+                            float(host["dt_max"][j]),
+                            scalars["replays"],
+                        )
                     )
+                prev_steps = scalars["n_steps"]
             finished = aborted or (
                 int(host["current_dumps"][-1]) >= params.num_data_dumps
                 or bool(host["aliased"][-1])
@@ -672,7 +706,7 @@ def run_config(
     strict_alias: bool = False,
     online_synthesis: bool = False,
     resume: bool = False,
-    dt_mode: str = "exact",
+    dt_mode: str = "optimistic",
     debug_checks: bool = False,
     check_eps: Optional[float] = None,
     profile_dir: Optional[str] = None,
@@ -846,23 +880,40 @@ def run_config(
             combine_dump(np.ones(n, bool), 0)
 
         total_steps = 0
+        prev_steps_batch = 0
 
         # Interval blocking (k dump intervals per dispatch, see
-        # stepper.evolve_intervals): single-process plain-Stepper runs
-        # without an online combiner — the dominant production shape —
-        # fetch k dumps per host round trip. Other layouts (mesh-sharded,
-        # multihost, online synthesis over live device state) keep the
-        # one-interval loop below.
+        # stepper.evolve_intervals): single-process plain-Stepper runs —
+        # the dominant production shape — fetch k dumps per host round
+        # trip. Online synthesis rides the SAME path: the `-combined/`
+        # reductions travel in the scan payload (Stepper._combine_row), so
+        # a combiner no longer forces the one-interval host loop. Mesh-
+        # sharded and multihost layouts keep the one-interval loop below.
+        combine_cfg = None
+        if (
+            combiner is not None
+            and type(stepper) is Stepper
+            and jax.process_count() == 1
+        ):
+            combine_cfg = (n, combiner.dv)
         kblock = (
-            _interval_block_k(mft_params, int(state.psi.shape[0]), dtype, stepper)
-            if combiner is None
+            _interval_block_k(
+                mft_params,
+                int(state.psi.shape[0]),
+                dtype,
+                stepper,
+                online=combine_cfg is not None,
+            )
+            if combiner is None or combine_cfg is not None
             else 1
         )
         if kblock > 1:
             want_pot = bool(toml.output_potential)
 
             def _advance_blocks(s):
-                return stepper.evolve_intervals(s, kblock, with_potential=want_pot)
+                return stepper.evolve_intervals(
+                    s, kblock, with_potential=want_pot, combine=combine_cfg
+                )
 
             speculate = _speculation_ok(
                 mft_params, int(state.psi.shape[0]), dtype, kblock
@@ -902,6 +953,7 @@ def run_config(
                             "a": float(view.scalar("a")[j][i]),
                             "n_steps": int(view.scalar("n_steps")[j][i]),
                             "aliased": bool(al[i]),
+                            "replays": int(view.scalar("replays")[j][i]),
                         }
 
                     for i in range(n):
@@ -951,15 +1003,37 @@ def run_config(
                                 int(dumps_j[i]),
                                 "potential",
                             )
+                    if combine_cfg is not None and process0:
+                        valid = jd[: n - 1] & ~al[: n - 1]
+                        if valid.any() and float(view.scalar("comb_n")[j]) > 0:
+                            combiner.write_row(
+                                {
+                                    name: view.scalar(name)[j]
+                                    for name in view.scal
+                                    if name.startswith("comb_")
+                                },
+                                int(dumps_j[int(np.flatnonzero(valid)[0])]),
+                            )
                     done = int(dumps_j[:n].min())
+                    steps_j = view.scalar("n_steps")[j][:n]
+                    extra = _telemetry_suffix(
+                        int(steps_j.max()) - prev_steps_batch,
+                        float(view.scalar("dt_min")[j][:n].min()),
+                        float(view.scalar("dt_max")[j][:n].max()),
+                        int(view.scalar("replays")[j][:n].sum()),
+                    )
+                    prev_steps_batch = max(prev_steps_batch, int(steps_j.max()))
                     if toml.cosmology is not None:
                         progress.update(
                             done,
                             redshift=1.0 / float(view.scalar("a")[j][:n].min()) - 1.0,
+                            extra=extra,
                         )
                     else:
                         progress.update(
-                            done, sim_time=float(view.scalar("time")[j][:n].min())
+                            done,
+                            sim_time=float(view.scalar("time")[j][:n].min()),
+                            extra=extra,
                         )
                 dumps_last = view.scalar("current_dumps")[-1]
                 al_last = view.scalar("aliased")[-1]
@@ -980,6 +1054,12 @@ def run_config(
             raw = stepper.evolve_to_next_dump(s, batched=True)
             return raw, stepper.snap_after_dump(raw)
 
+        # the one-interval fallback's speculation is budgeted like the
+        # blocked path's (its evolve entry does NOT donate — the loop
+        # re-reads the state — so TWO resident states plus payloads)
+        speculate1 = _speculation_ok(
+            mft_params, int(state.psi.shape[0]), dtype, 1, donated=False
+        )
         inflight = (
             _advance_batched(state)
             if kblock == 1 and stepper.not_finished(state)
@@ -991,7 +1071,8 @@ def run_config(
             # the per-stream psi transfers + npy writes overlap with i+1's
             # compute (see the single-run loop for the speculation safety
             # argument — evolve no-ops on finished/aliased states).
-            speculative = _advance_batched(state)
+            # Big states dispatch synchronously instead (_speculation_ok).
+            speculative = _advance_batched(state) if speculate1 else None
             pre_view = _EnsembleHostView(raw, n, fetch_psi=False)
             total_steps = int(np.asarray(pre_view.scalar("n_steps")).max())
             aliased = pre_view.scalar("aliased")
@@ -1049,13 +1130,31 @@ def run_config(
                     just_dumped & ~aliased, int(dumps_np[just_dumped.argmax()])
                 )
             done = int(dumps_np.min())
-            if toml.cosmology is not None:
-                progress.update(done, redshift=1.0 / float(view.scalar("a").min()) - 1.0)
-            else:
-                progress.update(done, sim_time=float(view.scalar("time").min()))
-            inflight = (
-                speculative if stepper.not_finished(state) else None
+            extra = _telemetry_suffix(
+                total_steps - prev_steps_batch,
+                float(np.asarray(pre_view.scalar("dt_min")).min()),
+                float(np.asarray(pre_view.scalar("dt_max")).max()),
+                int(np.asarray(pre_view.scalar("replays")).sum()),
             )
+            prev_steps_batch = max(prev_steps_batch, total_steps)
+            if toml.cosmology is not None:
+                progress.update(
+                    done,
+                    redshift=1.0 / float(view.scalar("a").min()) - 1.0,
+                    extra=extra,
+                )
+            else:
+                progress.update(
+                    done, sim_time=float(view.scalar("time").min()), extra=extra
+                )
+            if not stepper.not_finished(state):
+                inflight = None
+            else:
+                inflight = (
+                    speculative
+                    if speculative is not None
+                    else _advance_batched(state)
+                )
         if combiner is not None and process0:
             combiner.finalize()
         timer.stop(n_steps=total_steps)

@@ -71,6 +71,14 @@ class SimState:
     phi_max: jax.Array  # max|phi| at the last mid-drift (lagged-dt mode)
     norm0: jax.Array  # initial sum|psik|^2 dk^d (debug-checks reference)
     max_norm_err: jax.Array  # running max |norm/norm0 - 1| (inf on NaN)
+    # Step telemetry carried in-jit (the reference's per-update logging,
+    # simulation_object.rs:482,1210-1222, without per-step host syncs):
+    # dt_min/dt_max over the CURRENT dump interval (reset at snap),
+    # replays = cumulative optimistic-dt validation replays (dt_mode
+    # "optimistic" only; stays 0 otherwise).
+    dt_min: jax.Array
+    dt_max: jax.Array
+    replays: jax.Array  # int32
     # Deferred closing half-kick: true psik = exp(i pending_k k^2) psik.
     # Nonzero on lagged non-dump steps AND inside the skewed evolve loop
     # in BOTH dt modes (exact applies it in the next step's prefix);
@@ -155,8 +163,34 @@ class Stepper:
         # Poisson solve (~2 FFTs) fewer per step; trajectories differ from
         # the reference only through the dt sequence, and the CFL bound
         # remains enforced against a potential at most one step stale.
-        assert dt_mode in ("exact", "lagged")
+        # "optimistic" (production default): dt is PROPOSED from the carried
+        # max|phi| like lagged, scaled by a safety factor (MSM_DT_SAFETY,
+        # default 0.9), and VALIDATED after the step against the fresh
+        # midpoint max|phi| the step's own Poisson solve produces. A step
+        # whose dt violates the CFL potential bound against the fresh value
+        # is discarded and replayed with the corrected bound (the same
+        # per-stream revert machinery as the alias freeze; `replays`
+        # counts them). Accepted steps therefore satisfy the potential CFL
+        # bound against their OWN midpoint potential — the field that
+        # actually enters the kick, fresher than the reference's pre-step
+        # phi(t) — at the lagged step's pass count. Whenever dt is
+        # kinetic- or dump-bound throughout (the potential bound never
+        # binds), trajectories are bit-identical to exact mode.
+        assert dt_mode in ("exact", "lagged", "optimistic")
         self.dt_mode = dt_mode
+        # Optimistic proposal safety factor on the potential bound: dt may
+        # stand as long as the fresh midpoint max|phi| grew by less than
+        # 1/safety since the carried value; each consecutive replay
+        # inflates the carried bound by another 1/safety, so replay
+        # cascades terminate geometrically. Clamped to (0, 1]. Default
+        # 0.95: measured max per-step max|phi| growth on a violent 32^3
+        # tophat collapse is 0.24%/step (finer grids grow slower — the
+        # growth scales with dt), so 5% headroom is ~20x margin while
+        # costing only ~5% more (smaller) steps than the stale lagged
+        # bound would take.
+        self.dt_safety = min(
+            1.0, max(1e-3, float(os.environ.get("MSM_DT_SAFETY", "0.95")))
+        )
         # MXU-FFT engine path: k-space lives in the per-axis residue-major
         # "engine order" (ops/mxu_fft.py docstring) so the Pallas CT-matmul
         # transforms never shuffle data; the k^2 constants below are
@@ -539,6 +573,9 @@ class Stepper:
             norm0=self._norm_measure(psik),
             max_norm_err=scalars(jnp.zeros((), self.rdtype)),
             pending_k=scalars(jnp.zeros((), self.rdtype)),
+            dt_min=scalars(jnp.asarray(jnp.inf, self.tdtype)),
+            dt_max=scalars(jnp.zeros((), self.tdtype)),
+            replays=scalars(jnp.zeros((), jnp.int32)),
         )
 
     def _norm_measure(self, psik):
@@ -677,8 +714,30 @@ class Stepper:
                 p.final_sim_time / p.num_data_dumps
             )
             to_next = next_dump_time - state.time
+        if self.dt_mode == "optimistic":
+            # proposal: shrink only the (stale-bound) potential term
+            potential = potential * self.dt_safety
         dt = jnp.minimum(jnp.minimum(kinetic, potential), to_next)
         return dt, dt == to_next
+
+    def _dt_invalid(self, dt, phi_max_fresh, a):
+        """Optimistic-dt validation: did the executed dt violate the CFL
+        potential bound against the FRESH midpoint max|phi| the step's own
+        Poisson solve produced? (The bound the reference enforces against
+        the stale pre-step phi(t), get_timestep :905-909 / :969-975.)
+        `a` is the scale factor the proposal used (state.a; 1 static).
+        Written so NaN/Inf in phi_max yields False — a blown-up stream is
+        accepted and caught by the norm/alias monitors, never replayed
+        forever."""
+        p = self.params
+        pm = phi_max_fresh.astype(self.tdtype)
+        if p.expanding:
+            lhs = dt * (2.0 * a * pm)
+            rhs = p.cfl * 2.0 * np.pi
+        else:
+            lhs = dt * (2.0 * pm)
+            rhs = p.cfl * 2.0 * np.pi * p.hbar_
+        return lhs > jnp.asarray(rhs, self.tdtype)
 
     def _alias_mass(self, psik, consts: StepConsts):
         """Probability mass above the alias cutoff (check_alias, :1249-1293)."""
@@ -761,21 +820,64 @@ class Stepper:
         psi, psik, pending = self._finalize_step(
             psik, state.psi, is_dump, kcoeff, consts
         )
-
-        aliased = state.aliased | (alias_mass > p.alias_threshold)
-
-        return dataclasses.replace(
+        return self._finish_step(
             state,
             psi=psi,
             psik=psik,
             time=time,
+            tau=state.tau,
+            a=state.a,
+            is_dump=is_dump,
+            alias_mass=alias_mass,
+            phi_max=phi_max,
+            nrm=nrm,
+            pending=pending,
+            dt=_dt,
+        )
+
+    def _finish_step(
+        self, state: SimState, *, psi, psik, time, tau, a, is_dump,
+        alias_mass, phi_max, nrm, pending, dt
+    ) -> SimState:
+        """Assemble the advanced state and, in optimistic dt mode, validate
+        the executed dt against the fresh midpoint max|phi| — an invalid
+        step is discarded per-stream (replayed by the next loop iteration
+        with the corrected carried bound)."""
+        p = self.params
+        new = dataclasses.replace(
+            state,
+            psi=psi,
+            psik=psik,
+            time=time,
+            tau=tau,
+            a=a,
             n_steps=state.n_steps + 1,
             just_dumped=is_dump,
-            aliased=aliased,
+            aliased=state.aliased | (alias_mass > p.alias_threshold),
             alias_mass=alias_mass,
             phi_max=phi_max,
             max_norm_err=self._track_norm(state, psik, nrm=nrm),
             pending_k=pending,
+            dt_min=jnp.minimum(state.dt_min, dt.astype(self.tdtype)),
+            dt_max=jnp.maximum(state.dt_max, dt.astype(self.tdtype)),
+        )
+        if self.dt_mode != "optimistic":
+            return new
+        invalid = self._dt_invalid(dt, phi_max, state.a)
+        # revert: keep the old state, adopt the fresh bound (inflated by
+        # 1/safety so consecutive replays shrink dt geometrically) and
+        # count the replay
+        rev = dataclasses.replace(
+            state,
+            phi_max=jnp.where(
+                invalid, phi_max.astype(self.tdtype) / self.dt_safety,
+                state.phi_max,
+            ),
+            replays=state.replays + invalid.astype(jnp.int32),
+        )
+        # steady state = every stream valid: skip the full-grid blend
+        return jax.lax.cond(
+            jnp.any(invalid), lambda: self._select(~invalid, new, rev), lambda: new
         )
 
     def _step_expanding(self, state: SimState, consts: StepConsts) -> SimState:
@@ -820,23 +922,19 @@ class Stepper:
         psi, psik, pending = self._finalize_step(
             psik, state.psi, is_dump, kcoeff, consts
         )
-
-        aliased = state.aliased | (alias_mass > p.alias_threshold)
-
-        return dataclasses.replace(
+        return self._finish_step(
             state,
             psi=psi,
             psik=psik,
             time=t,
             tau=tau,
             a=a,
-            n_steps=state.n_steps + 1,
-            just_dumped=is_dump,
-            aliased=aliased,
+            is_dump=is_dump,
             alias_mass=alias_mass,
             phi_max=phi_max,
-            max_norm_err=self._track_norm(state, psik, nrm=nrm),
-            pending_k=pending,
+            nrm=nrm,
+            pending=pending,
+            dt=_dt,
         )
 
     # ------------------------------------------------------------------
@@ -916,6 +1014,15 @@ class Stepper:
             # stream stops" (:607-617). n_steps>0 guards the initial state
             # (the reference never alias-checks the ICs themselves).
             newly = active & (mass_in > p.alias_threshold) & (s.n_steps > 0)
+            pm_fresh = phi_max.astype(self.tdtype)
+            if self.dt_mode == "optimistic":
+                # optimistic-dt validation against THIS step's midpoint
+                # max|phi| (the fused interior's own reduction): an
+                # invalid stream reverts like a newly-aliased one, adopts
+                # the corrected bound and re-runs with a smaller dt
+                invalid = active & ~newly & self._dt_invalid(_dt, pm_fresh, s.a)
+            else:
+                invalid = jnp.zeros_like(newly)
             adv = dataclasses.replace(
                 s,
                 psik=(qr2, qi2),
@@ -924,13 +1031,15 @@ class Stepper:
                 a=a,
                 n_steps=s.n_steps + 1,
                 just_dumped=is_dump,
-                phi_max=phi_max.astype(self.tdtype),
+                phi_max=pm_fresh,
                 pending_k=kcoeff,
+                dt_min=jnp.minimum(s.dt_min, _dt.astype(self.tdtype)),
+                dt_max=jnp.maximum(s.dt_max, _dt.astype(self.tdtype)),
             )
+            advance = active & ~newly & ~invalid
             if batched:
                 # steady state = every stream advancing: skip the full-grid
                 # select blend (reads 2 grids + writes 1 per leaf) entirely
-                advance = active & ~newly
                 out = jax.lax.cond(
                     jnp.all(advance),
                     lambda: adv,
@@ -938,9 +1047,9 @@ class Stepper:
                 )
             else:
                 out = jax.lax.cond(
-                    (active & ~newly).reshape(()), lambda: adv, lambda: s
+                    advance.reshape(()), lambda: adv, lambda: s
                 )
-            return dataclasses.replace(
+            out = dataclasses.replace(
                 out,
                 aliased=s.aliased | newly,
                 alias_mass=jnp.where(active, mass_in, s.alias_mass),
@@ -950,6 +1059,15 @@ class Stepper:
                     s.max_norm_err,
                 ),
             )
+            if self.dt_mode == "optimistic":
+                out = dataclasses.replace(
+                    out,
+                    phi_max=jnp.where(
+                        invalid, pm_fresh / self.dt_safety, out.phi_max
+                    ),
+                    replays=out.replays + invalid.astype(jnp.int32),
+                )
+            return out
 
         return body
 
@@ -1074,7 +1192,13 @@ class Stepper:
         return self._jit_evolve(state, self.consts)
 
     def _evolve_intervals(
-        self, state: SimState, consts: StepConsts, *, k: int, with_potential: bool
+        self,
+        state: SimState,
+        consts: StepConsts,
+        *,
+        k: int,
+        with_potential: bool,
+        combine: "tuple[int, float] | None" = None,
     ):
         """Advance k dump intervals inside ONE compiled program (lax.scan).
 
@@ -1093,6 +1217,18 @@ class Stepper:
         (~0.7 s each on axon — 200-dump runs of small ensembles were
         entirely dispatch-bound). One scan compiles once (same body as a
         single interval) and fetches k dumps per round trip.
+
+        With ``combine=(n_runs, dv)`` each interval row additionally
+        carries the ONLINE-SYNTHESIS reductions (the `-combined/` ensemble
+        averages + the Qx scalar, `synthesizer/src/main.rs:63-93,161-173`)
+        computed in-jit over the stream batch axis: streams 0..n_runs-2
+        that produced this row's dump (just_dumped & ~aliased) are
+        averaged — the MFT (index n_runs-1) and internal padding rows
+        never participate. psik rides the synthesizer's UNnormalized
+        convention (ortho state psik x N^(d/2); `lib.rs:206-213`), in
+        natural k order. This is what lets `--online-synthesis` keep
+        interval blocking, donation and budgeted speculation instead of
+        forcing the one-interval host loop.
         """
 
         def body(s, _):
@@ -1104,6 +1240,13 @@ class Stepper:
                 "alias_mass": raw.alias_mass,
                 "max_norm_err": raw.max_norm_err,
                 "n_steps": raw.n_steps,
+                # pre-snap step telemetry: this interval's dt range and the
+                # cumulative optimistic-dt replay count (reference-grade
+                # per-update visibility, simulation_object.rs:1210-1222,
+                # with zero extra host syncs)
+                "dt_min": raw.dt_min,
+                "dt_max": raw.dt_max,
+                "replays": raw.replays,
                 "current_dumps": snapped.current_dumps,
                 "time": snapped.time,
                 "tau": snapped.tau,
@@ -1113,11 +1256,62 @@ class Stepper:
             }
             if with_potential:
                 out["pot"] = self._potential(snapped.psi, consts)
+            if combine is not None:
+                out.update(self._combine_row(raw, snapped, combine))
             return snapped, out
 
         return jax.lax.scan(body, state, None, length=k)
 
-    def evolve_intervals(self, state: SimState, k: int, with_potential: bool = False):
+    def _combine_row(self, raw: SimState, snapped: SimState, combine) -> dict:
+        """One interval row's online-synthesis payload (see
+        `_evolve_intervals`): masked stream-axis means of psi / |psi|^2 /
+        psik / |psik|^2 plus the Qx scalar, all in-jit. |psi|^2 and
+        |psik|^2 are real by construction (their files carry zero
+        imaginary parts, matching OnlineCombiner's host output)."""
+        n_runs, dv = combine
+        p = self.params
+        psi = snapped.psi
+        batch = psi.shape[0]
+        smask = jnp.arange(batch) < (n_runs - 1)
+        w = (raw.just_dumped & ~raw.aliased & smask).astype(self.rdtype)
+        wg = self._bcast(w)
+        nv = jnp.sum(w)
+        den = jnp.maximum(nv, 1.0)
+        psik = snapped.psik
+        if self.use_mxu:
+            from .ops import mxu_fft
+
+            psik = mxu_fft.to_natural(psik, p.dims)
+        # synthesizer file convention: UNnormalized per-axis FFT
+        # (`lib.rs:206-213`) = ortho psik scaled by N^(d/2)
+        psik = psik * jnp.asarray(p.size ** (p.dims / 2.0), self.rdtype)
+        psi_m = jnp.sum(psi * wg.astype(psi.dtype), axis=0) / den.astype(psi.dtype)
+        psi2_m = jnp.sum(jnp.real(psi * jnp.conj(psi)) * wg, axis=0) / den
+        psik_m = jnp.sum(psik * wg.astype(psik.dtype), axis=0) / den.astype(
+            psik.dtype
+        )
+        psik2_m = jnp.sum(jnp.real(psik * jnp.conj(psik)) * wg, axis=0) / den
+        qx = jnp.sum(
+            psi2_m - jnp.real(psi_m * jnp.conj(psi_m))
+        ) * jnp.asarray(dv, self.rdtype)
+        return {
+            "comb_n": nv,
+            "comb_psi_re": jnp.real(psi_m),
+            "comb_psi_im": jnp.imag(psi_m),
+            "comb_psi2": psi2_m,
+            "comb_psik_re": jnp.real(psik_m),
+            "comb_psik_im": jnp.imag(psik_m),
+            "comb_psik2": psik2_m,
+            "comb_qx": qx,
+        }
+
+    def evolve_intervals(
+        self,
+        state: SimState,
+        k: int,
+        with_potential: bool = False,
+        combine: "tuple[int, float] | None" = None,
+    ):
         """Jitted k-interval advance; see `_evolve_intervals`.
 
         The input state is DONATED: each dispatch's input is the previous
@@ -1127,13 +1321,16 @@ class Stepper:
         what makes speculative dispatch affordable at 512^3
         (_speculation_ok). MSM_DONATE=0 opts out.
         """
-        key = (int(k), bool(with_potential))
+        key = (int(k), bool(with_potential), combine)
         fn = self._interval_jits.get(key)
         if fn is None:
             donate = (0,) if _donate_enabled() else ()
             fn = jax.jit(
                 functools.partial(
-                    self._evolve_intervals, k=key[0], with_potential=key[1]
+                    self._evolve_intervals,
+                    k=key[0],
+                    with_potential=key[1],
+                    combine=combine,
                 ),
                 donate_argnums=donate,
             )
@@ -1209,6 +1406,11 @@ class Stepper:
             time=new_time,
             tau=new_tau,
             just_dumped=jnp.zeros_like(state.just_dumped),
+            # per-interval dt telemetry resets at the dump boundary
+            dt_min=jnp.where(
+                counted, jnp.asarray(jnp.inf, state.dt_min.dtype), state.dt_min
+            ),
+            dt_max=jnp.where(counted, jnp.zeros_like(state.dt_max), state.dt_max),
         )
 
     def not_finished(self, state: SimState) -> bool:

@@ -434,6 +434,33 @@ class OnlineCombiner:
             np.sum(host["psi2"] - host["psi"] * np.conj(host["psi"])) * self.dv
         )
 
+    def write_row(self, row: dict, dump: int) -> None:
+        """Write one interval row of the IN-JIT combined payload
+        (`Stepper._combine_row`, the blocked `--online-synthesis` path) in
+        the identical `-combined/` layout `on_dump` produces."""
+        re = np.asarray(row["comb_psi_re"])
+        cdt = np.complex128 if re.dtype == np.float64 else np.complex64
+        fields = {
+            "psi": re + 1j * np.asarray(row["comb_psi_im"]),
+            "psi2": np.asarray(row["comb_psi2"]),
+            "psik": np.asarray(row["comb_psik_re"])
+            + 1j * np.asarray(row["comb_psik_im"]),
+            "psik2": np.asarray(row["comb_psik2"]),
+        }
+        size = re.shape[0]
+        pad = (1,) * (4 - self.dims)
+        for name, arr in fields.items():
+            arr4 = arr.astype(cdt).reshape((size,) * self.dims + pad)
+            if self.writer is not None:
+                self.writer.submit(
+                    os.path.join(self.out_dir, f"{name}_{dump:05d}"), arr4
+                )
+            else:
+                write_complex_pair(
+                    os.path.join(self.out_dir, f"{name}_{dump:05d}"), arr4
+                )
+        self.qx_series[dump] = complex(float(np.asarray(row["comb_qx"])))
+
     def finalize(self) -> None:
         """Write the Qx time series (`synthesizer/src/main.rs:161-173`)."""
         if not self.qx_series:

@@ -13,6 +13,12 @@ def test_simulate_flags_parse():
     )
     assert args.check_eps == pytest.approx(2e-4)
     assert args.fast_dt
+    # production default dt semantics; --fast-dt stays a lagged alias
+    assert args.dt_mode == "optimistic"
+    args = cli.build_parser().parse_args(
+        ["simulate", "--toml", "x.toml", "--dt-mode", "exact"]
+    )
+    assert args.dt_mode == "exact" and not args.fast_dt
 
 
 def test_check_eps_defaults():

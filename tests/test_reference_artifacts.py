@@ -63,7 +63,12 @@ def test_plane3d_dump0_byte_parity_with_shipped_ic(tmp_path):
     no normalization or transpose (ics.rs:650-730, io.rs:34-97)."""
     toml = _plane3d_toml()
     root = str(tmp_path)
-    simulator.run_config(toml, dtype=jnp.complex128, data_root=root)
+    # dt_mode pinned: the golden freeze below anchors the EXACT-dt
+    # trajectory (parity semantics); the production default (optimistic)
+    # is trajectory-equivalence-tested in test_stepper/test_simulator
+    simulator.run_config(
+        toml, dtype=jnp.complex128, data_root=root, dt_mode="exact"
+    )
 
     with np.load(toml.ics.path) as npz:
         ref = (npz["real"] + 1j * npz["imag"]).reshape(16, 16, 16, 1)

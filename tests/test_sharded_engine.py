@@ -84,7 +84,7 @@ def _assert_state_match(m, r, atol=1e-12):
     )
 
 
-@pytest.mark.parametrize("dtm", ["lagged", "exact"])
+@pytest.mark.parametrize("dtm", ["optimistic", "exact"])
 def test_sharded_engine_interval_equivalence(batch_psi0, dtm):
     """One dump interval through the (2,2,2)-mesh skewed evolve loop ==
     the single-device fused engine, in both dt modes (VERDICT r2 item 1)."""

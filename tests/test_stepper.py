@@ -186,6 +186,80 @@ def test_lagged_dt_mode():
     assert err / scale < 5e-3
 
 
+def test_optimistic_dt_matches_exact_when_not_potential_bound():
+    """Optimistic mode (the production default): when dt is kinetic- or
+    dump-bound throughout, the proposal equals the exact-mode dt and the
+    trajectory is identical to exact mode with zero replays."""
+    p = _params(
+        dims=3, size=16, total_mass=1e6, num_data_dumps=2,
+        final_sim_time=2.0, cfl=0.4,
+    )
+    psi0 = np.asarray(ics.build_ics(p))
+    se = Stepper(p, jnp.complex128, dt_mode="exact")
+    so = Stepper(p, jnp.complex128, dt_mode="optimistic")
+    a = se.init_state(psi0)
+    b = so.init_state(psi0)
+    for _ in range(2):
+        a = se.snap_after_dump(se.evolve_to_next_dump(a))
+        b = so.snap_after_dump(so.evolve_to_next_dump(b))
+        np.testing.assert_allclose(
+            np.asarray(a.psi), np.asarray(b.psi), atol=1e-13
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.n_steps), np.asarray(b.n_steps)
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.time), np.asarray(b.time), rtol=1e-14
+        )
+        assert int(b.replays) == 0
+
+
+def test_optimistic_dt_potential_bound_validation_and_replay():
+    """Potential-bound regime: optimistic takes ~1/safety more (smaller)
+    steps than the stale lagged bound with zero replays in smooth
+    evolution; an understated carried max|phi| forces a validation
+    failure, which is replayed (not accepted) and the run still completes
+    unitarily. Also covers the in-state dt telemetry."""
+    p = _params(
+        dims=3, size=16, total_mass=5e12, num_data_dumps=2,
+        final_sim_time=0.5, cfl=0.4, alias_threshold=0.5,
+    )
+    psi0 = np.asarray(ics.build_ics(p))
+    so = Stepper(p, jnp.complex128, dt_mode="optimistic")
+    sl = Stepper(p, jnp.complex128, dt_mode="lagged")
+
+    b = so.init_state(psi0)
+    l = sl.init_state(psi0)
+    kinetic = p.cfl * 2.0 * p.axis_length / (math.sqrt(so.k2_max) * p.hbar_)
+    for _ in range(2):
+        raw = so.evolve_to_next_dump(b)
+        # telemetry: dt range populated pre-snap, within the CFL bounds
+        assert 0.0 < float(raw.dt_min) <= float(raw.dt_max) <= kinetic + 1e-12
+        b = so.snap_after_dump(raw)
+        # snap resets the per-interval dt stats
+        assert float(b.dt_min) == float("inf") and float(b.dt_max) == 0.0
+        l = sl.snap_after_dump(sl.evolve_to_next_dump(l))
+    n_opt, n_lag = int(b.n_steps), int(l.n_steps)
+    assert n_opt > 2 * (p.num_data_dumps)  # genuinely potential-bound
+    assert n_lag <= n_opt <= int(math.ceil(n_lag / so.dt_safety)) + 2
+    assert int(b.replays) == 0  # smooth evolution: no validation failures
+    assert float(np.sum(np.abs(np.asarray(b.psi)) ** 2) * p.dx**3) == (
+        pytest.approx(1.0, abs=1e-10)
+    )
+
+    # force a replay: the carried bound understates the true potential, so
+    # the first proposal is kinetic/dump-bound but potential-invalid
+    forced = dataclasses.replace(
+        so.init_state(psi0), phi_max=jnp.zeros_like(b.phi_max) + 1e-30
+    )
+    raw = so.evolve_to_next_dump(forced)
+    assert int(raw.replays) >= 1
+    assert bool(np.asarray(raw.just_dumped))
+    assert float(
+        np.sum(np.abs(np.asarray(raw.psi)) ** 2) * p.dx**3
+    ) == pytest.approx(1.0, abs=1e-10)
+
+
 def test_initial_time_offsets_dump_grid():
     """With time = t0 > 0 dumps land at t0 + i*T/n (the reference's
     "TODO: fix for initial_time != 0", simulation_object.rs:627-631,
@@ -396,7 +470,7 @@ def _skew_params(**kw):
     )
 
 
-@pytest.mark.parametrize("dtm", ["lagged", "exact"])
+@pytest.mark.parametrize("dtm", ["optimistic", "exact"])
 def test_skewed_evolve_equivalence_3d(dtm):
     """The skewed evolve loop (planar mixed-space while_loop carrier;
     step i's closing axis-0 forward fused with step i+1's opening kinetic
