@@ -22,12 +22,13 @@ def main() -> None:
     parser.add_argument("--steps", type=int, default=100)
     parser.add_argument(
         "--dt-mode",
-        choices=("exact", "lagged", "both"),
-        default="both",
+        choices=("optimistic", "exact", "lagged", "all", "both"),
+        default="all",
         dest="dt_mode",
-        help="both (default): headline = lagged production fast path with "
-        "the reference-parity exact mode as an exact_dt sub-record; or one "
-        "mode alone",
+        help="all (default): headline = optimistic (the CLI/production "
+        "default dt semantics) with the reference-parity exact mode and "
+        "the lagged mode as sub-records; or one mode alone. 'both' is a "
+        "legacy alias for all",
     )
     parser.add_argument(
         "--metric",

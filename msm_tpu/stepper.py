@@ -866,7 +866,10 @@ class Stepper:
         invalid = self._dt_invalid(dt, phi_max, state.a)
         # revert: keep the old state, adopt the fresh bound (inflated by
         # 1/safety so consecutive replays shrink dt geometrically) and
-        # count the replay
+        # count the replay. Plain where-select, NOT lax.cond: XLA fuses
+        # the selects into the producing passes (measured free on the XLA
+        # path), while a cond blocks fusion/aliasing of the whole state
+        # and cost ~20% per step.
         rev = dataclasses.replace(
             state,
             phi_max=jnp.where(
@@ -875,10 +878,7 @@ class Stepper:
             ),
             replays=state.replays + invalid.astype(jnp.int32),
         )
-        # steady state = every stream valid: skip the full-grid blend
-        return jax.lax.cond(
-            jnp.any(invalid), lambda: self._select(~invalid, new, rev), lambda: new
-        )
+        return self._select(~invalid, new, rev)
 
     def _step_expanding(self, state: SimState, consts: StepConsts) -> SimState:
         """One expanding-universe KDK step in dtau (update, :669-873).

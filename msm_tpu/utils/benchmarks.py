@@ -33,7 +33,11 @@ def _hbm_gbps() -> float:
 
 
 def estimate_sol_updates_per_s(bytes_per_cell: int = 8) -> float:
-    """Speed-of-light cell-updates/s for one KDK step on this chip.
+    """Round-1 cross-round reference model: cell-updates/s for one KDK
+    step under the analytic XLA pass accounting (44 passes x 8 B/cell).
+    Kept FIXED so vs_baseline stays comparable across rounds — the fused
+    step beats it (it moves ~4x fewer bytes), so vs_baseline can read
+    >1.0. `fused_dma_bound_updates_per_s` is the honest per-mode bound.
 
     Step = 5 complex transforms (2 kinetic round trips + 1 re-forward) plus
     the half-spectrum Poisson pair (~1 complex equivalent) at ~3 axis
@@ -41,6 +45,29 @@ def estimate_sol_updates_per_s(bytes_per_cell: int = 8) -> float:
     """
     passes = 6 * 3 * 2 + 8
     return _hbm_gbps() * 1e9 / (passes * bytes_per_cell)
+
+
+def step_bytes_per_cell(dt_mode: str, fused_skew: bool) -> float:
+    """HBM bytes moved per cell per step — the step's OWN DMA model, used
+    for the honest `vs_dma_bound` roofline fraction (BASELINE.md round-4
+    "honest second roofline").
+
+    Fused skewed step (production): ~124 B/cell measured accounting for
+    the 4-pass lagged/optimistic interior (BASELINE.md). The exact-dt
+    prefix adds 4 read-heavy passes (planar roundtrip rw 16 B, inverse+
+    density 12 B, rho roundtrip 8 B, max-reduce read 4 B) ~= +40 B/cell.
+    Note the exact mode is NOT purely DMA-bound: at HIGHEST psi-matmul
+    precision a large share of its extra time is MXU-bound (the 6-pass
+    bf16 matmul decomposition), which is why its measured vs_dma_bound
+    sits below the lagged mode's. Non-fused paths fall back to the
+    44-pass x 8 B analytic model."""
+    if not fused_skew:
+        return 44.0 * 8.0
+    return 164.0 if dt_mode == "exact" else 124.0
+
+
+def fused_dma_bound_updates_per_s(dt_mode: str, fused_skew: bool) -> float:
+    return _hbm_gbps() * 1e9 / step_bytes_per_cell(dt_mode, fused_skew)
 
 
 def run_kdk_bench(
@@ -128,17 +155,31 @@ def run_kdk_bench(
 
     cells = streams * size**dims
     updates_per_s = cells * steps / elapsed
-    return {
+    fused_skew = bool(getattr(stepper, "skew", False))
+    out = {
         "metric": "grid_updates_per_s_per_chip",
         "value": round(updates_per_s, 1),
         "unit": f"cell-updates/s (size={size}^{dims} x {streams} streams, c64 KDK)",
         "vs_baseline": round(updates_per_s / estimate_sol_updates_per_s(), 4),
+        # the step's OWN DMA bound (124 B/cell fused-skew model; honest:
+        # never reads >1.0 — vs_baseline is the FIXED round-1 pass model
+        # kept for cross-round comparability)
+        "vs_dma_bound": round(
+            updates_per_s / fused_dma_bound_updates_per_s(dt_mode, fused_skew), 4
+        ),
         "steps_per_s": round(steps / elapsed, 3),
         "dt_mode": dt_mode,
         "fft_mode": fft_ops.get_mode(size),
         "fused_phases": bool(getattr(stepper, "fuse_phases", False)),
         "device": jax.devices()[0].device_kind,
     }
+    if dt_mode == "optimistic":
+        # validation-replay rate over the whole bench run (expected ~0:
+        # the potential changes slowly; BASELINE.md)
+        replays = int(np.asarray(state.replays).sum())
+        accepted = max(int(np.asarray(state.n_steps).sum()), 1)
+        out["replay_rate"] = round(replays / accepted, 5)
+    return out
 
 
 def run_ensemble_bench(
@@ -175,7 +216,8 @@ def run_ensemble_bench(
         ics=cfg.SphericalTophat(radius=5.0, delta=100.0, slope=50.0),
     )
     params = cfg.resolve_parameters(toml)
-    stepper = Stepper(params, jnp.complex64)
+    # production default dt semantics (simulator.run_config)
+    stepper = Stepper(params, jnp.complex64, dt_mode="optimistic")
 
     from .transfer import device_put_complex
 
@@ -323,8 +365,8 @@ def main(args) -> None:
     if metric == "scaling":
         print(json.dumps(run_scaling_bench(size=args.size, steps=args.steps)))
         return
-    dt_mode = getattr(args, "dt_mode", "both")
-    if dt_mode != "both":
+    dt_mode = getattr(args, "dt_mode", "all")
+    if dt_mode not in ("both", "all"):
         print(
             json.dumps(
                 run_kdk_bench(
@@ -334,18 +376,23 @@ def main(args) -> None:
             )
         )
         return
-    # Both dt modes in one run: the headline stays the lagged production
-    # fast path; the reference-parity exact mode (two Poisson solves per
-    # step — the semantics the reference actually has) rides along as a
-    # sub-record with its own roofline fraction (BASELINE.md documents the
-    # 2x pass-count floor between the two).
+    # All dt modes in one run. The HEADLINE is the optimistic mode — the
+    # CLI/production DEFAULT (validated-CFL semantics at the lagged
+    # interior's cost) — so the advertised number is the number users get.
+    # The reference-parity exact mode (two Poisson solves per step, the
+    # strict --dt-mode exact semantics) and the unvalidated lagged mode
+    # ride along as sub-records with their own roofline fractions
+    # (BASELINE.md documents the exact mode's 8-pass floor).
+    sub_keys = ("value", "vs_baseline", "vs_dma_bound", "steps_per_s")
     out = run_kdk_bench(
-        args.size, args.dims, args.streams or 1, args.steps, dt_mode="lagged"
+        args.size, args.dims, args.streams or 1, args.steps, dt_mode="optimistic"
     )
     exact = run_kdk_bench(
         args.size, args.dims, args.streams or 1, args.steps, dt_mode="exact"
     )
-    out["exact_dt"] = {
-        k: exact[k] for k in ("value", "vs_baseline", "steps_per_s")
-    }
+    lagged = run_kdk_bench(
+        args.size, args.dims, args.streams or 1, args.steps, dt_mode="lagged"
+    )
+    out["exact_dt"] = {k: exact[k] for k in sub_keys}
+    out["lagged_dt"] = {k: lagged[k] for k in sub_keys}
     print(json.dumps(out))
