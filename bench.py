@@ -34,7 +34,23 @@ def main() -> None:
         "--metric",
         choices=("kdk", "streams", "scaling"),
         default="kdk",
-        help="kdk: grid-updates/s on one big grid; streams: ensemble streams/s",
+        help="kdk: grid-updates/s on one big grid; streams: ensemble "
+        "streams/s; scaling: weak-scaling sweep over the device mesh",
+    )
+    parser.add_argument(
+        "--processes",
+        type=int,
+        default=1,
+        help="scaling metric only: spawn N jax.distributed processes (the "
+        "2-process CPU rehearsal of the pod-slice run; workers bootstrap "
+        "over loopback like tests/test_multihost_spatial.py)",
+    )
+    parser.add_argument(
+        "--devices-per-proc",
+        type=int,
+        default=4,
+        dest="devices_per_proc",
+        help="virtual CPU devices per spawned process (scaling rehearsal)",
     )
     args = parser.parse_args()
 

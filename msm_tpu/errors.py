@@ -32,3 +32,9 @@ class NanOrInfError(MsmError):
 
 class TomlReadError(MsmError):
     """Failed to read or parse a simulation TOML."""
+
+
+class KeypairError(MsmError):
+    """Failed to read or parse the remote-storage keypair file
+    (reference: RuntimeError::KeypairError, error.rs:4-35; the keypair is
+    loaded from the path in [remote_storage_parameters], io.rs:352-408)."""

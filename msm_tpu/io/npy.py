@@ -15,11 +15,14 @@ the file writes; the pure-Python path is the fallback.
 
 from __future__ import annotations
 
+import logging
 import os
 import threading
 from concurrent.futures import Future, ThreadPoolExecutor
 
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 # Reference caps in-flight grid writes at 16 (x2 files each).
 MAX_CONCURRENT_GRID_WRITES = 16
@@ -156,8 +159,10 @@ class AsyncGridWriter:
             for fut in pending:  # drain before raising; keep pool consistent
                 try:
                     fut.result()
-                except BaseException:
-                    pass
+                except BaseException as e:
+                    # first-error raise semantics, but don't lose the
+                    # diagnostics of additional failures in the drain
+                    log.error("additional async-write failure swallowed: %r", e)
             raise failure
         for fut in pending:
             fut.result()

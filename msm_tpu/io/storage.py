@@ -26,16 +26,57 @@ Both run uploads through the bounded async pool (AsyncGridWriter).
 
 from __future__ import annotations
 
+import hashlib
+import hmac
 import io as _io
+import json
 import os
 import time
 import urllib.error
+import urllib.parse
 import urllib.request
 from typing import Optional, Protocol, Sequence
 
 import numpy as np
 
-from .npy import AsyncGridWriter, write_complex_pair
+from ..errors import KeypairError
+from .npy import AsyncGridWriter, load_complex_pair, write_complex_pair
+
+
+def load_keypair(path: str) -> tuple[str, bytes]:
+    """Load a remote-storage keypair file -> (pubkey_hex, secret_bytes).
+
+    The reference reads a Solana keypair file — a JSON array of 64 bytes,
+    secret||public — and fails with KeypairError when unreadable
+    (`io.rs:352-408`, `error.rs:4-35`). Accepted here: that JSON format,
+    or 64 raw bytes, or 128 hex chars. The public half identifies the
+    client; the secret half signs requests (HMAC stand-in for the ed25519
+    signature — no crypto dependency in this environment)."""
+    try:
+        with open(path, "rb") as f:
+            raw = f.read()
+    except OSError as e:
+        raise KeypairError(f"cannot read keypair file {path!r}: {e}") from e
+    data: bytes | None = None
+    text = raw.strip()
+    if text.startswith(b"["):
+        try:
+            ints = json.loads(text)
+            data = bytes(int(b) & 0xFF for b in ints)
+        except (ValueError, TypeError) as e:
+            raise KeypairError(f"malformed JSON keypair {path!r}: {e}") from e
+    elif len(text) == 128:
+        try:
+            data = bytes.fromhex(text.decode())
+        except ValueError:
+            data = None
+    if data is None and len(raw) == 64:
+        data = raw
+    if data is None or len(data) != 64:
+        raise KeypairError(
+            f"keypair file {path!r} is not a 64-byte secret||public pair"
+        )
+    return data[32:].hex(), data[:32]
 
 
 class StorageBackend(Protocol):
@@ -98,6 +139,18 @@ class DirectoryTransport:
         write_complex_pair(base, arr)
         return base
 
+    def get_pair(self, account: str, key: str) -> np.ndarray:
+        return load_complex_pair(self.object_base(account, key))
+
+    def list_accounts(self) -> list[str]:
+        """The drive handshake: existing accounts on the stand-in drive."""
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
     def object_base(self, account: str, key: str) -> str:
         return os.path.join(self.root, account, key)
 
@@ -111,6 +164,16 @@ class HttpTransport:
     retries with linear backoff; a transport error after the last attempt
     propagates out of the upload task (surfaces at `writer.wait()`, like
     the reference's unwrap on the joined tokio task).
+
+    With a `keypair` (path from `[remote_storage_parameters]`,
+    `parameters.rs:57-66`) every request carries a keypair-derived
+    `Authorization: MSM1 {pubkey_hex}:{hmac}` header — the public half
+    identifies the client and the secret half HMAC-signs `{METHOD} {path}`
+    (the environment-appropriate stand-in for the reference's Solana
+    ed25519 request signing, `io.rs:352-408`). GET support makes the
+    store readable back (the `--resume` path); `list_accounts` performs
+    the reference's account-discovery handshake (GET on the drive root,
+    `io.rs:383-401`).
     """
 
     def __init__(
@@ -119,27 +182,48 @@ class HttpTransport:
         retries: int = 3,
         backoff_s: float = 0.25,
         timeout_s: float = 60.0,
+        keypair: Optional[str] = None,
     ):
         self.base_url = base_url.rstrip("/")
         self.retries = int(retries)
         self.backoff_s = float(backoff_s)
         self.timeout_s = float(timeout_s)
+        self._auth: Optional[tuple[str, bytes]] = (
+            load_keypair(keypair) if keypair else None
+        )
 
-    def _put_object(self, url: str, data: bytes) -> None:
+    def _headers(self, method: str, url: str) -> dict:
+        h = {"Content-Type": "application/octet-stream"}
+        if self._auth is not None:
+            pub, secret = self._auth
+            path = urllib.parse.urlparse(url).path
+            sig = hmac.new(
+                secret, f"{method} {path}".encode(), hashlib.sha256
+            ).hexdigest()
+            h["Authorization"] = f"MSM1 {pub}:{sig}"
+        return h
+
+    def _request(self, url: str, method: str, data: Optional[bytes] = None) -> bytes:
         last: Exception | None = None
         for attempt in range(self.retries):
             try:
-                req = urllib.request.Request(url, data=data, method="PUT")
-                req.add_header("Content-Type", "application/octet-stream")
+                req = urllib.request.Request(url, data=data, method=method)
+                for k, v in self._headers(method, url).items():
+                    req.add_header(k, v)
                 with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
                     if 200 <= resp.status < 300:
-                        return
-                    last = OSError(f"PUT {url} -> HTTP {resp.status}")
+                        return resp.read()
+                    last = OSError(f"{method} {url} -> HTTP {resp.status}")
             except (urllib.error.URLError, OSError) as e:
                 last = e
             if attempt + 1 < self.retries:
                 time.sleep(self.backoff_s * (attempt + 1))
-        raise OSError(f"upload failed after {self.retries} attempts: {url}") from last
+        raise OSError(
+            f"{method} failed after {self.retries} attempts: {url}"
+        ) from last
+
+    def _put_object(self, url: str, data: bytes) -> None:
+        self._request(url, "PUT", data)
 
     def put_pair(self, account: str, key: str, arr: np.ndarray) -> str:
         base = self.object_base(account, key)
@@ -148,17 +232,48 @@ class HttpTransport:
         self._put_object(base + "_imag", _npy_bytes(arr.imag))
         return base
 
+    def get_pair(self, account: str, key: str) -> np.ndarray:
+        """Read back a grid pair (the resume path; npy over the wire is
+        the same format as on disk, `_npy_bytes`)."""
+        base = self.object_base(account, key)
+        re = np.lib.format.read_array(_io.BytesIO(self._request(base + "_real", "GET")))
+        im = np.lib.format.read_array(_io.BytesIO(self._request(base + "_imag", "GET")))
+        return re + 1j * im
+
+    def list_accounts(self) -> list[str]:
+        """Account-discovery handshake: GET the drive root, accepting a
+        JSON list or newline-separated names. Returns [] when the store
+        does not support listing (the caller then falls back to the
+        configured account name)."""
+        try:
+            body = self._request(self.base_url + "/", "GET")
+        except OSError:
+            return []
+        text = body.decode("utf-8", "replace").strip()
+        if not text:
+            return []
+        try:
+            names = json.loads(text)
+            if isinstance(names, list):
+                return [str(n) for n in names]
+        except ValueError:
+            pass
+        return [ln.strip().strip("/") for ln in text.splitlines() if ln.strip()]
+
     def object_base(self, account: str, key: str) -> str:
         return f"{self.base_url}/{account}/{key}"
 
 
-def transport_from_env(root: str):
+def transport_from_env(root: str, keypair: Optional[str] = None):
     """Pick the transport: `MSM_STORAGE_URL` selects HTTP (with optional
-    `MSM_STORAGE_RETRIES`), else the local directory stand-in."""
+    `MSM_STORAGE_RETRIES` and the config's keypair for request auth), else
+    the local directory stand-in."""
     url = os.environ.get("MSM_STORAGE_URL")
     if url:
         return HttpTransport(
-            url, retries=int(os.environ.get("MSM_STORAGE_RETRIES", "3"))
+            url,
+            retries=int(os.environ.get("MSM_STORAGE_RETRIES", "3")),
+            keypair=keypair or None,
         )
     return DirectoryTransport(root)
 
@@ -192,22 +307,18 @@ class ObjectBackend:
     ) -> "ObjectBackend":
         """Build a backend from a `[remote_storage_parameters]` table.
 
-        Mirrors `RemoteStorage::new` (`io.rs:352-408`): the reference lists
-        the drive's storage accounts, keeps those whose identifier CONTAINS
-        the configured name, and rotates among them by stream seed. Here the
-        drive is the `root` directory and accounts are its subdirectories;
-        when none match, a single account named `storage_account` is used
-        (and created on first upload).
+        Mirrors `RemoteStorage::new` (`io.rs:352-408`): the client loads
+        the configured keypair (requests are then signed — HttpTransport),
+        LISTS the drive's storage accounts, keeps those whose identifier
+        CONTAINS the configured name, and rotates among them by stream
+        seed. When the listing yields no match, a single account named
+        `storage_account` is used (created on first upload).
         """
         name = config.storage_account
-        matches = []
-        if os.path.isdir(root):
-            matches = sorted(
-                d
-                for d in os.listdir(root)
-                if name in d and os.path.isdir(os.path.join(root, d))
-            )
-        return cls(root, matches or [name], writer=writer)
+        keypair = getattr(config, "keypair", "") or None
+        transport = transport_from_env(root, keypair=keypair)
+        matches = sorted(a for a in transport.list_accounts() if name in a)
+        return cls(root, matches or [name], writer=writer, transport=transport)
 
     def account_for(self, seed: Optional[int]) -> str:
         if seed is None:
@@ -232,11 +343,20 @@ class ObjectBackend:
     def grid_path(
         self, sim_name: str, field: str, dump: int, seed: Optional[int] = None
     ) -> str:
-        """Destination base path/URL for a grid (re-reading works for the
-        directory transport; HTTP objects are write-side only, like the
-        reference's upload path)."""
+        """Destination base path/URL for a grid."""
         key = f"{sim_name}_{field}_{dump:05d}"
         return self.transport.object_base(self.account_for(seed), key)
+
+    def load_grid(
+        self, sim_name: str, field: str, dump: int, seed: Optional[int] = None
+    ) -> np.ndarray:
+        """Read a grid back from the store (the --resume path; the
+        reference never reads back — this build's checkpoints do). Waits
+        for in-flight uploads first so a just-submitted grid reads
+        consistently."""
+        self.wait()
+        key = f"{sim_name}_{field}_{dump:05d}"
+        return np.asarray(self.transport.get_pair(self.account_for(seed), key))
 
     def wait(self) -> None:
         self.writer.wait()

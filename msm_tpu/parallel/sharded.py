@@ -333,6 +333,15 @@ class MeshStepper:
             raise NotImplementedError(
                 "in-payload online synthesis is not supported on MeshStepper"
             )
+        return self._interval_fn(k, with_potential)(state, self.consts)
+
+    def _interval_fn(self, k: int, with_potential: bool = False):
+        """The compiled k-interval mesh program (cached per key). Exposed
+        so tests can AOT-lower it at target scale (1024^3) with
+        ShapeDtypeStruct inputs without allocating a grid
+        (tests/test_scale_lowering.py)."""
+        from jax import lax
+
         key = (int(k), bool(with_potential))
         fn = self._interval_jits.get(key)
         if fn is None:
@@ -386,7 +395,7 @@ class MeshStepper:
                 donate_argnums=(0,) if _donate_enabled() else (),
             )
             self._interval_jits[key] = fn
-        return fn(state, self.consts)
+        return fn
 
     def step(self, state: SimState) -> SimState:
         return self._step_fn(state, self.consts)

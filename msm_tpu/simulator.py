@@ -97,6 +97,17 @@ class SimulationRun:
             )
         return psi_path(self.dir, dump_index)
 
+    def load_psi(self, dump_index: int) -> np.ndarray:
+        """Read a psi dump back, whatever storage it went to (the resume
+        path works against the object store too — GET on the transport)."""
+        if self.backend is not None:
+            arr = self.backend.load_grid(
+                self.params.sim_name, "psi", dump_index, seed=self.seed
+            )
+        else:
+            arr = load_complex_pair(self.psi_base(dump_index))
+        return arr.reshape(self.params.shape)
+
     def write_manifest(self, state_slice: dict):
         write_manifest(self.dir, extra=self._urls or None, **state_slice)
 
@@ -361,8 +372,7 @@ def _try_resume_batch(runs, stepper: Stepper, data_root: str, pad_to: int):
 
     psis = []
     for r, m in zip(runs, manifests):
-        base = r.psi_base(m["current_dumps"])
-        psis.append(load_complex_pair(base).reshape(r.params.shape))
+        psis.append(r.load_psi(m["current_dumps"]))
     psis += [psis[-1]] * (pad_to - len(runs))
     manifests += [manifests[-1]] * (pad_to - len(runs))
     state = stepper.init_state(np.stack(psis), batched=True)
@@ -546,9 +556,7 @@ def run_single(
         manifest = load_manifest(run.dir)
         if manifest is not None and manifest["current_dumps"] > 0:
             start_dump = manifest["current_dumps"]
-            psi0 = load_complex_pair(run.psi_base(start_dump)).reshape(
-                params.shape
-            )
+            psi0 = run.load_psi(start_dump)
             state = stepper.init_state(psi0)
             state = dataclasses.replace(
                 state,

@@ -231,13 +231,24 @@ class Stepper:
         )
 
         p = params
-        spec = build_spec_grid(p.dx, p.dims, p.size)
-        self.k2_max = float(spec.max())
-        # Static alias mask: modes with k^2 > k2_cutoff * k2_max.
-        mask = (spec > p.k2_cutoff * self.k2_max).astype(np.float64)
-        if self.use_mxu or self.sharded_engine:
-            spec = mxu_fft.permute_spec(spec, p.dims)
-            mask = mxu_fft.permute_spec(mask, p.dims)
+        # k2_max from the separable 1-D table: the axes are independent and
+        # share dk, so max(sum_i k_i^2) = dims * max(k_1d^2) — identical to
+        # the full grid's max without materializing it.
+        s1d_np = build_spec_grid(p.dx, 1, p.size)
+        self.k2_max = float(s1d_np.max()) * p.dims
+        if self.sharded_engine:
+            # the engine path synthesizes every k-space constant from the
+            # separable tables in-register; never build the N^3 grids on
+            # host (at 1024^3 they would be 2 x 8.6 GiB of host RAM)
+            spec = np.zeros((1,) * p.dims)
+            mask = np.zeros((1,) * p.dims)
+        else:
+            spec = build_spec_grid(p.dx, p.dims, p.size)
+            # Static alias mask: modes with k^2 > k2_cutoff * k2_max.
+            mask = (spec > p.k2_cutoff * self.k2_max).astype(np.float64)
+            if self.use_mxu:
+                spec = mxu_fft.permute_spec(spec, p.dims)
+                mask = mxu_fft.permute_spec(mask, p.dims)
         # Fused-phase fast path: the step's elementwise interludes (kinetic
         # kick, potential kick, density, Poisson multiply) ride inside the
         # MXU FFT kernels' first passes — whole HBM passes removed from the
@@ -340,12 +351,6 @@ class Stepper:
                 self.engine = mxu_fft.SingleEngine(
                     p.dims, self.poisson_coeff, cutoff, self.density_prefactor
                 )
-        if self.sharded_engine:
-            # the engine path synthesizes every k-space constant from the
-            # separable tables; don't materialize two N^3 grids on device
-            # (MeshStepper's consts specs expect these placeholders)
-            spec = np.zeros((1,) * p.dims)
-            mask = np.zeros((1,) * p.dims)
         self.consts = StepConsts(
             spec_grid=jnp.asarray(spec, self.rdtype),
             alias_mask=jnp.asarray(mask, self.rdtype),

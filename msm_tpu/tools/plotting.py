@@ -170,7 +170,11 @@ def density_movie(
                 except Exception:
                     # no working encoder after all (e.g. imageio-ffmpeg
                     # imports but ships no binary): fall back to GIF like
-                    # the no-ffmpeg path instead of crashing
+                    # the no-ffmpeg path instead of crashing. Remove any
+                    # partially-written mp4 so a corrupt file is not
+                    # mistaken for valid output.
+                    if os.path.exists(out_path):
+                        os.remove(out_path)
                     out_path = out_path[:-4] + ".gif"
         else:
             images = [iio.imread(f) for f in frames]

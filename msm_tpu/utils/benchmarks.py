@@ -254,6 +254,41 @@ def run_ensemble_bench(
     }
 
 
+_ICI_GBPS = {
+    # device_kind substring -> per-chip ICI bandwidth GB/s (public specs:
+    # v5e 1600 Gbps interchip interconnect per chip)
+    "v5 lite": 200.0,
+    "v5e": 200.0,
+    "v5p": 600.0,
+    "v6 lite": 448.0,
+    "v6e": 448.0,
+    "v4": 300.0,
+}
+
+
+def _ici_gbps() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, bw in _ICI_GBPS.items():
+        if key in kind:
+            return bw
+    return 200.0
+
+
+def modeled_a2a_fraction(n_space: int) -> float:
+    """Modeled all_to_all share of a sharded fused step on the TPU target:
+    4 exchanges/step moving 8 B x (d-1)/d per cell over ICI vs the 124
+    B/cell fused-kernel HBM traffic (BASELINE.md round-4 scaling model;
+    no compute/comm overlap assumed — the pessimistic bound)."""
+    if n_space <= 1:
+        return 0.0
+    a2a_bytes = 4 * 8.0 * (n_space - 1) / n_space
+    t_comm = a2a_bytes / _ici_gbps()
+    t_mem = 124.0 / _hbm_gbps()
+    return round(t_comm / (t_comm + t_mem), 3)
+
+
 def run_scaling_bench(size: int = 64, dims: int = 3, steps: int = 5) -> dict:
     """Weak-scaling sweep: fixed per-device grid load, 1..N devices.
 
@@ -263,6 +298,14 @@ def run_scaling_bench(size: int = 64, dims: int = 3, steps: int = 5) -> dict:
     On a real pod slice this produces the BASELINE.md weak-scaling table;
     on the CPU virtual-device mesh it exercises the same collective
     structure (numbers then measure XLA CPU collectives, not ICI).
+
+    Runs single- OR multi-process (bench.py --processes N spawns the
+    2-process CPU rehearsal with the same jax.distributed bootstrap as
+    tests/test_multihost_spatial.py; on a pod slice the TPU runtime is
+    the launcher and this code path is unchanged): points with n >=
+    process_count split devices evenly across processes so the
+    all_to_alls cross the process boundary (DCN on real hardware); the
+    1-device baseline runs process-locally on every process.
     """
     import os
 
@@ -285,9 +328,27 @@ def run_scaling_bench(size: int = 64, dims: int = 3, steps: int = 5) -> dict:
     if os.environ.get("MSM_FFT") is None:
         fft_ops.set_default_mode("auto")
     devices = jax.devices()
+    n_proc = jax.process_count()
+    by_proc: dict = {}
+    for d in devices:
+        by_proc.setdefault(d.process_index, []).append(d)
+    local = by_proc.get(jax.process_index(), devices)
+
+    def pick_devices(n: int):
+        if n_proc == 1:
+            return devices[:n]
+        if n < n_proc:
+            # process-local baseline: every process times its own copy
+            return local[:n]
+        per = n // n_proc
+        return [d for pi in sorted(by_proc) for d in by_proc[pi][:per]]
+
     points = []
     n = 1
     while n <= len(devices):
+        if n_proc > 1 and n > 1 and n % n_proc:
+            n *= 2
+            continue
         # pencil split: px >= py, px*py = n
         py = int(n**0.5)
         while n % py:
@@ -313,7 +374,7 @@ def run_scaling_bench(size: int = 64, dims: int = 3, steps: int = 5) -> dict:
         )
         params = cfg.resolve_parameters(toml)
         mesh = Mesh(
-            np.asarray(devices[:n]).reshape(1, px, py),
+            np.asarray(pick_devices(n)).reshape(1, px, py),
             (STREAM_AXIS, SPACE_AXIS, SPACE2_AXIS),
         )
         stepper = MeshStepper(params, mesh, jnp.complex64)
@@ -345,6 +406,13 @@ def run_scaling_bench(size: int = 64, dims: int = 3, steps: int = 5) -> dict:
         pt["weak_scaling_efficiency"] = round(
             (pt["cell_updates_per_s"] / pt["devices"]) / base, 3
         )
+        # measured collective share (1 - efficiency at constant per-device
+        # load) vs the modeled ICI all_to_all share (BASELINE.md) — on a
+        # CPU virtual mesh "measured" reflects XLA CPU collectives
+        pt["comm_fraction_measured"] = round(
+            max(0.0, 1.0 - pt["weak_scaling_efficiency"]), 3
+        )
+        pt["comm_fraction_modeled"] = modeled_a2a_fraction(pt["devices"])
     return {
         "metric": "weak_scaling",
         "value": points[-1]["weak_scaling_efficiency"],
@@ -353,8 +421,55 @@ def run_scaling_bench(size: int = 64, dims: int = 3, steps: int = 5) -> dict:
             "1-device throughput"
         ),
         "vs_baseline": points[-1]["weak_scaling_efficiency"],
+        "processes": n_proc,
         "points": points,
     }
+
+
+def _spawn_scaling_procs(args) -> None:
+    """Self-bootstrap the 2-process CPU weak-scaling rehearsal: spawn N
+    workers with the same jax.distributed loopback bootstrap the
+    multihost tests use; worker 0 inherits stdout and prints the JSON."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    bench = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "bench.py",
+    )
+    dpp = int(getattr(args, "devices_per_proc", 4) or 4)
+    procs = []
+    for i in range(args.processes):
+        env = dict(os.environ)
+        env.update(
+            MSM_BENCH_PROC_ID=str(i),
+            MSM_BENCH_NPROCS=str(args.processes),
+            MSM_BENCH_COORD=f"127.0.0.1:{port}",
+            PALLAS_AXON_POOL_IPS="",
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS=f"--xla_force_host_platform_device_count={dpp}",
+        )
+        cmd = [
+            sys.executable, bench, "--metric", "scaling",
+            "--size", str(args.size), "--steps", str(args.steps),
+            "--processes", str(args.processes),
+        ]
+        procs.append(
+            subprocess.Popen(
+                cmd,
+                env=env,
+                stdout=None if i == 0 else subprocess.DEVNULL,
+                stderr=None if i == 0 else subprocess.DEVNULL,
+            )
+        )
+    rcs = [p.wait() for p in procs]
+    if any(rcs):
+        raise RuntimeError(f"scaling workers failed: rc={rcs}")
 
 
 def main(args) -> None:
@@ -363,7 +478,25 @@ def main(args) -> None:
         print(json.dumps(run_ensemble_bench(streams=args.streams or 128)))
         return
     if metric == "scaling":
-        print(json.dumps(run_scaling_bench(size=args.size, steps=args.steps)))
+        import os
+
+        n_procs = int(getattr(args, "processes", 1) or 1)
+        if n_procs > 1 and os.environ.get("MSM_BENCH_PROC_ID") is None:
+            _spawn_scaling_procs(args)
+            return
+        if os.environ.get("MSM_BENCH_PROC_ID") is not None:
+            import jax
+
+            jax.distributed.initialize(
+                coordinator_address=os.environ["MSM_BENCH_COORD"],
+                num_processes=int(os.environ["MSM_BENCH_NPROCS"]),
+                process_id=int(os.environ["MSM_BENCH_PROC_ID"]),
+            )
+        out = run_scaling_bench(size=args.size, steps=args.steps)
+        import jax
+
+        if jax.process_index() == 0:
+            print(json.dumps(out))
         return
     dt_mode = getattr(args, "dt_mode", "all")
     if dt_mode not in ("both", "all"):

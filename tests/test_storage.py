@@ -60,18 +60,48 @@ def test_progress_reporter(capsys):
 
 class _LoopbackStore:
     """In-process HTTP object store: PUT stores bytes, repeated PUT
-    overwrites. Can fail the first N requests to exercise retries."""
+    overwrites; GET serves objects back; GET on / lists account names
+    (the reference's account-discovery handshake, io.rs:383-401). Can
+    fail the first N requests to exercise retries, and can REQUIRE the
+    keypair-derived Authorization header (verified server-side with the
+    same keypair)."""
 
-    def __init__(self, fail_first: int = 0):
+    def __init__(self, fail_first: int = 0, accounts=(), require_keypair=None):
+        import hashlib
+        import hmac as _hmac
         import http.server
+        import json as _json
         import threading
 
         store = self
         self.objects: dict[str, bytes] = {}
+        self.accounts = list(accounts)
         self.put_count = 0
+        self.auth_failures = 0
         self.fail_remaining = fail_first
+        if require_keypair is not None:
+            from msm_tpu.io.storage import load_keypair
+
+            self._auth = load_keypair(require_keypair)
+        else:
+            self._auth = None
 
         class Handler(http.server.BaseHTTPRequestHandler):
+            def _authorized(self, method):
+                if store._auth is None:
+                    return True
+                pub, secret = store._auth
+                want = _hmac.new(
+                    secret, f"{method} {self.path}".encode(), hashlib.sha256
+                ).hexdigest()
+                got = self.headers.get("Authorization", "")
+                if got == f"MSM1 {pub}:{want}":
+                    return True
+                store.auth_failures += 1
+                self.send_response(401)
+                self.end_headers()
+                return False
+
             def do_PUT(self):  # noqa: N802
                 store.put_count += 1
                 if store.fail_remaining > 0:
@@ -79,10 +109,31 @@ class _LoopbackStore:
                     self.send_response(503)
                     self.end_headers()
                     return
+                if not self._authorized("PUT"):
+                    return
                 n = int(self.headers["Content-Length"])
                 store.objects[self.path] = self.rfile.read(n)
+                account = self.path.strip("/").split("/")[0]
+                if account not in store.accounts:
+                    store.accounts.append(account)
                 self.send_response(201)
                 self.end_headers()
+
+            def do_GET(self):  # noqa: N802
+                if not self._authorized("GET"):
+                    return
+                if self.path == "/":
+                    body = _json.dumps(store.accounts).encode()
+                elif self.path in store.objects:
+                    body = store.objects[self.path]
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
 
             def log_message(self, *a):
                 pass
@@ -170,6 +221,157 @@ def test_http_transport_gives_up(rng):
         be.submit_grid("simF", "psi", 0, np.zeros((2, 2, 1, 1)) + 0j)
         with pytest.raises(OSError):
             be.close()
+    finally:
+        store.close()
+
+
+def _write_keypair(tmp_path) -> str:
+    """Solana-style keypair file: JSON array of 64 bytes, secret||public
+    (io.rs:352-408)."""
+    import json
+
+    path = str(tmp_path / "keypair.json")
+    with open(path, "w") as f:
+        json.dump(list(range(64)), f)
+    return path
+
+
+def test_keypair_loading_and_errors(tmp_path):
+    from msm_tpu.errors import KeypairError
+    from msm_tpu.io.storage import load_keypair
+
+    path = _write_keypair(tmp_path)
+    pub, secret = load_keypair(path)
+    assert pub == bytes(range(32, 64)).hex()
+    assert secret == bytes(range(32))
+    with pytest.raises(KeypairError):
+        load_keypair(str(tmp_path / "missing.json"))
+    bad = tmp_path / "bad.json"
+    bad.write_text("[1, 2, 3]")
+    with pytest.raises(KeypairError):
+        load_keypair(str(bad))
+
+
+def test_http_auth_handshake_and_readback(tmp_path, rng):
+    """The full R16 shape on a loopback store that REQUIRES auth: keypair-
+    signed requests (io.rs:352-408), the account-listing handshake with
+    substring matching (io.rs:383-401), and GET read-back (the resume
+    path)."""
+    from msm_tpu import config as cfg
+    from msm_tpu.io.storage import HttpTransport, ObjectBackend
+
+    kp = _write_keypair(tmp_path)
+    store = _LoopbackStore(
+        accounts=["streams-a", "streams-b", "other"], require_keypair=kp
+    )
+    try:
+        # unauthenticated client is rejected
+        t_anon = HttpTransport(store.url, retries=1, backoff_s=0.01)
+        with pytest.raises(OSError):
+            t_anon.put_pair("streams-a", "k", np.zeros((2, 2)) + 0j)
+        assert store.auth_failures >= 1
+
+        # from_config: keypair + handshake -> matched, seed-rotated accounts
+        os.environ["MSM_STORAGE_URL"] = store.url
+        try:
+            be = ObjectBackend.from_config(
+                cfg.RemoteStorageConfig(keypair=kp, storage_account="streams"),
+                str(tmp_path),
+            )
+        finally:
+            del os.environ["MSM_STORAGE_URL"]
+        assert be.accounts == ["streams-a", "streams-b"]
+        arr = rng.standard_normal((3, 3, 1, 1)) + 1j * rng.standard_normal(
+            (3, 3, 1, 1)
+        )
+        be.submit_grid("simK", "psi", 1, arr, seed=2)
+        be.wait()
+        got = be.load_grid("simK", "psi", 1, seed=2)
+        np.testing.assert_allclose(got, arr)
+        be.close()
+    finally:
+        store.close()
+
+
+def test_resume_through_object_store(tmp_path, rng):
+    """run -> rewind -> resume ENTIRELY through MSM_STORAGE_URL: the
+    checkpoint psi is read back from the object store by GET (VERDICT r3
+    missing item 3 — the reference never reads back; our --resume must)."""
+    import dataclasses
+    import json
+
+    import jax.numpy as jnp
+
+    from msm_tpu import config as cfg
+    from msm_tpu import simulator
+    from msm_tpu.io.checkpoint import load_manifest, write_manifest
+
+    kp = _write_keypair(tmp_path)
+    store = _LoopbackStore(require_keypair=kp)
+    try:
+        toml = cfg.parse_toml_dict(
+            {
+                "axis_length": 30.0,
+                "final_sim_time": 0.5,
+                "cfl": 0.5,
+                "num_data_dumps": 2,
+                "total_mass": 1e8,
+                "ntot": 1e6,
+                "hbar_": 0.05,
+                "sim_name": "store-resume",
+                "k2_cutoff": 0.95,
+                "alias_threshold": 0.9,
+                "dims": 2,
+                "size": 8,
+                "ics": {
+                    "type": "SphericalTophat",
+                    "radius": 5.0,
+                    "slope": 50,
+                    "delta": 10,
+                },
+                "remote_storage_parameters": {
+                    "keypair": kp,
+                    "storage_account": "account0",
+                },
+            }
+        )
+        root = str(tmp_path / "data")
+        os.environ["MSM_STORAGE_URL"] = store.url
+        try:
+            simulator.run_config(toml, dtype=jnp.complex128, data_root=root)
+            final = dict(store.objects)
+            assert "/account0/store-resume_psi_00002_real" in final
+
+            # rewind the local manifest to dump 1 and wipe the final
+            # object: resume must re-read psi_00001 from the store (GET)
+            # and re-produce dump 2
+            sim_dir = os.path.join(root, "store-resume")
+            m = load_manifest(sim_dir)
+            man1 = dict(m)
+            # reconstruct dump-1 scalars: time snaps to the dump grid
+            man1.update(current_dumps=1, time=0.25, n_steps=m["n_steps"] // 2)
+            write_manifest(sim_dir, **{
+                k: man1[k]
+                for k in ("current_dumps", "time", "tau", "a", "n_steps",
+                          "aliased", "replays")
+            })
+            del store.objects["/account0/store-resume_psi_00002_real"]
+            del store.objects["/account0/store-resume_psi_00002_imag"]
+
+            simulator.run_config(
+                toml, dtype=jnp.complex128, data_root=root, resume=True
+            )
+            got = store.objects["/account0/store-resume_psi_00002_real"]
+            np.testing.assert_allclose(
+                np.frombuffer(got[128:], np.float64),
+                np.frombuffer(
+                    final["/account0/store-resume_psi_00002_real"][128:],
+                    np.float64,
+                ),
+                atol=1e-12,
+            )
+        finally:
+            del os.environ["MSM_STORAGE_URL"]
     finally:
         store.close()
 
