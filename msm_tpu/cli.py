@@ -263,6 +263,19 @@ def build_parser() -> argparse.ArgumentParser:
     bench.add_argument(
         "--metric", choices=("kdk", "streams", "scaling"), default="kdk"
     )
+    bench.add_argument(
+        "--dt-mode",
+        choices=("optimistic", "exact", "lagged", "all", "both"),
+        default="all",
+        dest="dt_mode",
+    )
+    bench.add_argument(
+        "--processes", type=int, default=1,
+        help="scaling metric: spawn N jax.distributed CPU workers",
+    )
+    bench.add_argument(
+        "--devices-per-proc", type=int, default=4, dest="devices_per_proc"
+    )
     bench.set_defaults(fn=cmd_bench)
 
     return parser

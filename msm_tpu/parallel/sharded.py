@@ -136,6 +136,7 @@ class MeshStepper:
             aliased=self.scalar_spec,
             alias_mass=self.scalar_spec,
             phi_max=self.scalar_spec,
+            phi_ref=self.scalar_spec,
             norm0=self.scalar_spec,
             max_norm_err=self.scalar_spec,
             pending_k=self.scalar_spec,

@@ -175,10 +175,18 @@ def run_kdk_bench(
     }
     if dt_mode == "optimistic":
         # validation-replay rate over the whole bench run (expected ~0:
-        # the potential changes slowly; BASELINE.md)
+        # the potential changes slowly and the carried bound has
+        # anti-churn hysteresis; BASELINE.md). A replayed iteration does
+        # kernel work but advances no physics, so the headline value is
+        # deflated to ACCEPTED-step throughput — the honest number.
         replays = int(np.asarray(state.replays).sum())
         accepted = max(int(np.asarray(state.n_steps).sum()), 1)
-        out["replay_rate"] = round(replays / accepted, 5)
+        rate = replays / accepted
+        out["replay_rate"] = round(rate, 5)
+        out["iteration_updates_per_s"] = out["value"]
+        out["value"] = round(out["value"] / (1.0 + rate), 1)
+        out["vs_baseline"] = round(out["vs_baseline"] / (1.0 + rate), 4)
+        out["vs_dma_bound"] = round(out["vs_dma_bound"] / (1.0 + rate), 4)
     return out
 
 

@@ -74,6 +74,7 @@ def _abstract_state(ms: MeshStepper, batch: int) -> SimState:
         aliased=s(jnp.bool_),
         alias_mass=s(st.rdtype),
         phi_max=s(st.tdtype),
+        phi_ref=s(st.tdtype),
         norm0=s(st.rdtype),
         max_norm_err=s(st.rdtype),
         pending_k=s(st.rdtype),

@@ -416,7 +416,7 @@ def test_interval_block_matches_single(tmp_path, monkeypatch):
         assert ma == mb
 
 
-@pytest.mark.parametrize("dtm", ["lagged", "exact"])
+@pytest.mark.parametrize("dtm", ["optimistic", "exact"])
 def test_skewed_production_path_matches_unskewed(tmp_path, monkeypatch, dtm):
     """The production driver path (interval-blocked evolve + dump/manifest
     writing) over the SKEWED loop (stepper.skew, docs/DESIGN.md §8f)

@@ -260,6 +260,58 @@ def test_optimistic_dt_potential_bound_validation_and_replay():
     ) == pytest.approx(1.0, abs=1e-10)
 
 
+def test_optimistic_dt_expanding():
+    """Expanding-universe optimistic mode: the validation bound carries
+    the scale factor (dtau <= cfl*2pi/(2*a*max|phi|), get_timestep
+    :969-975). Not-potential-bound => identical to exact; an understated
+    carried bound forces a validated replay and the run still completes
+    with a grown scale factor."""
+    import math as _m
+
+    from msm_tpu.constants import LITTLE_H_TO_BIG_H, POIS_CONST
+
+    hbar_, h, z0 = 0.01, 0.5, 19.0
+    cosmo = cfg.CosmologyConfig(
+        omega_matter_now=1.0, omega_radiation_now=0.0, h=h, z0=z0,
+        max_dloga=0.01,
+    )
+    h0 = h * LITTLE_H_TO_BIG_H
+    box_sc = 100.0
+    L_p = box_sc / _m.sqrt(_m.sqrt(1.5 * h0**2) / hbar_) / (1.0 + z0)
+
+    def params(mass_scale):
+        total_mass = mass_scale * box_sc**3 * hbar_**1.5 / (
+            POIS_CONST * (2.0 / (3.0 * h0**2)) ** 0.25
+        )
+        return _params(
+            dims=3, size=16, L=L_p, hbar_=hbar_, total_mass=total_mass,
+            final_sim_time=40.0, num_data_dumps=2, cosmology=cosmo,
+        )
+
+    p = params(1.0)
+    assert p.expanding
+    psi0 = np.asarray(ics.build_ics(p))
+    se = Stepper(p, jnp.complex128, dt_mode="exact")
+    so = Stepper(p, jnp.complex128, dt_mode="optimistic")
+    a = se.snap_after_dump(se.evolve_to_next_dump(se.init_state(psi0)))
+    b = so.snap_after_dump(so.evolve_to_next_dump(so.init_state(psi0)))
+    if int(b.replays) == 0 and int(a.n_steps) == int(b.n_steps):
+        # not potential-bound at this mass: trajectories identical
+        np.testing.assert_allclose(
+            np.asarray(a.psi), np.asarray(b.psi), atol=1e-12
+        )
+    assert float(b.a) > 1.0 / (1.0 + z0)  # universe expanded
+
+    # forced replay through the expanding validation path
+    forced = dataclasses.replace(
+        so.init_state(psi0), phi_max=jnp.zeros_like(b.phi_max) + 1e-30
+    )
+    raw = so.evolve_to_next_dump(forced)
+    assert int(raw.replays) >= 1
+    assert bool(np.asarray(raw.just_dumped))
+    assert np.isfinite(np.asarray(raw.psi)).all()
+
+
 def test_initial_time_offsets_dump_grid():
     """With time = t0 > 0 dumps land at t0 + i*T/n (the reference's
     "TODO: fix for initial_time != 0", simulation_object.rs:627-631,
