@@ -91,6 +91,9 @@ class MeshStepper:
             dt_mode=dt_mode,
             debug_checks=debug_checks,
             space_devices=n_space if shard_space else None,
+            # the stream axis is always bound inside this mesh's shard_map
+            # (extent 1 included) — the combine row reduces over it
+            stream_axis=STREAM_AXIS,
         )
         engine = self.stepper.sharded_engine
 
@@ -324,26 +327,28 @@ class MeshStepper:
         traffic `gather_spatial` pays per dump on the one-interval path),
         staying stream-sharded so multi-host fetches stay process-local
         (mesh.fetch_stacked_slices).
+
+        With ``combine=(n_runs, dv)`` each row additionally carries the
+        online-synthesis reductions (Stepper._combine_row, mesh-aware:
+        global-index stream mask + psum over the stream axis; Qx psummed
+        over the space axes). The combined mean fields are all_gathered
+        over the space axes alongside the dump planes and leave the
+        program fully replicated — every process reads them from the
+        payload, process 0 writes (`OnlineCombiner.write_row`). On the
+        sharded fused engine the psik means travel in ENGINE k-order
+        inside the program and are permuted to natural order AFTER the
+        space gather (the per-shard permutation would cross shards).
         """
-        from jax import lax
+        return self._interval_fn(k, with_potential, combine)(state, self.consts)
 
-        if combine is not None:
-            # mesh runs keep the one-interval combiner loop (the stream
-            # axis is sharded; the in-payload reduction is a plain-Stepper
-            # fast path — simulator.run_config gates on the stepper type)
-            raise NotImplementedError(
-                "in-payload online synthesis is not supported on MeshStepper"
-            )
-        return self._interval_fn(k, with_potential)(state, self.consts)
-
-    def _interval_fn(self, k: int, with_potential: bool = False):
+    def _interval_fn(self, k: int, with_potential: bool = False, combine=None):
         """The compiled k-interval mesh program (cached per key). Exposed
         so tests can AOT-lower it at target scale (1024^3) with
         ShapeDtypeStruct inputs without allocating a grid
         (tests/test_scale_lowering.py)."""
         from jax import lax
 
-        key = (int(k), bool(with_potential))
+        key = (int(k), bool(with_potential), combine)
         fn = self._interval_jits.get(key)
         if fn is None:
             scalar_names = (
@@ -362,10 +367,24 @@ class MeshStepper:
                 for ax, names in enumerate(self.psi_spec[1:])
                 if names is not None
             ]
+            # combine mean fields have NO stream axis (already psummed over
+            # it): payload offset +1, sharding from psi/psik grid specs
+            comb_psi_names = ("comb_psi_re", "comb_psi_im", "comb_psi2")
+            comb_psik_names = ("comb_psik_re", "comb_psik_im", "comb_psik2")
+            comb_gathers = [
+                (name, ax + 1, mesh_names)
+                for spec, names_ in (
+                    (self.psi_spec, comb_psi_names),
+                    (self.psik_spec, comb_psik_names),
+                )
+                for ax, mesh_names in enumerate(spec[1:])
+                if mesh_names is not None
+                for name in names_
+            ]
 
             def body(s, consts):
                 snapped, outs = self.stepper._evolve_intervals(
-                    s, consts, k=key[0], with_potential=key[1]
+                    s, consts, k=key[0], with_potential=key[1], combine=combine
                 )
                 for name in scalar_names:
                     outs[name] = lax.all_gather(
@@ -376,12 +395,32 @@ class MeshStepper:
                         outs[name] = lax.all_gather(
                             outs[name], mesh_names, axis=ax, tiled=True
                         )
+                if combine is not None:
+                    for name, ax, mesh_names in comb_gathers:
+                        outs[name] = lax.all_gather(
+                            outs[name], mesh_names, axis=ax, tiled=True
+                        )
+                    if self.stepper.sharded_engine:
+                        # engine k-order -> natural, on the now-local full
+                        # grids (mxu_fft.to_natural permutes trailing dims)
+                        from ..ops import mxu_fft
+
+                        for name in comb_psik_names:
+                            outs[name] = mxu_fft.to_natural(
+                                outs[name], self.params.dims
+                            )
                 return snapped, outs
 
             dims = self.params.dims
             payload_spec = P(None, STREAM_AXIS, *((None,) * dims))
             outs_specs = {name: P(None, None) for name in scalar_names}
             outs_specs.update({name: payload_spec for name in grid_names})
+            if combine is not None:
+                comb_grid_spec = P(None, *((None,) * dims))
+                outs_specs.update(
+                    {n: comb_grid_spec for n in comb_psi_names + comb_psik_names}
+                )
+                outs_specs.update({"comb_n": P(None), "comb_qx": P(None)})
             from ..stepper import _donate_enabled
 
             fn = jax.jit(

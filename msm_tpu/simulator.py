@@ -895,13 +895,17 @@ def run_config(
         # the dominant production shape — fetch k dumps per host round
         # trip. Online synthesis rides the SAME path: the `-combined/`
         # reductions travel in the scan payload (Stepper._combine_row), so
-        # a combiner no longer forces the one-interval host loop. Mesh-
-        # sharded and multihost layouts keep the one-interval loop below.
+        # a combiner no longer forces the one-interval host loop — on the
+        # mesh too (MeshStepper.evolve_intervals psums the combine row over
+        # the stream axis and gathers the mean fields with the dump planes;
+        # every process reads them from the payload, process 0 writes).
+        # Only multi-process plain-Stepper layouts (kblock forced to 1)
+        # keep the one-interval loop below.
         combine_cfg = None
-        if (
-            combiner is not None
-            and type(stepper) is Stepper
+        if combiner is not None and (
+            isinstance(stepper, Stepper)
             and jax.process_count() == 1
+            or type(stepper).__name__ == "MeshStepper"
         ):
             combine_cfg = (n, combiner.dv)
         kblock = (

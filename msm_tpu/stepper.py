@@ -144,10 +144,14 @@ class Stepper:
         dt_mode: str = "exact",
         debug_checks: bool = False,
         space_devices: "int | None" = None,
+        stream_axis: "str | None" = None,
     ):
         # space_devices: total device count over the space axes (the mesh
         # owner — MeshStepper — passes it; the grid must divide it for the
         # sharded fused engine to engage).
+        # stream_axis: mesh axis name the stream batch is sharded over
+        # (MeshStepper passes it; only the online-synthesis combine row
+        # reduces over it — every other per-stream quantity stays local).
         # spatial_axis: one mesh-axis name (slab decomposition) or a tuple
         # of two (2-D pencil, 3-D grids only; parallel/pfft.fftn_pencil).
         # debug_checks: carry a per-STEP unitarity/finiteness monitor inside
@@ -162,6 +166,7 @@ class Stepper:
         # Time bookkeeping in float64 when enabled (x64 mode), else float32.
         self.tdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.spatial_axis = spatial_axis
+        self.stream_axis = stream_axis
         # dt_mode "exact": the potential is solved twice per step like the
         # reference (once at t for dt, once at the drift midpoint for the
         # kick; update() :497 and :530). "lagged": dt bounds max|phi| with
@@ -1322,16 +1327,31 @@ class Stepper:
         `_evolve_intervals`): masked stream-axis means of psi / |psi|^2 /
         psik / |psik|^2 plus the Qx scalar, all in-jit. |psi|^2 and
         |psik|^2 are real by construction (their files carry zero
-        imaginary parts, matching OnlineCombiner's host output)."""
+        imaginary parts, matching OnlineCombiner's host output).
+
+        Mesh-aware: with ``stream_axis`` set (MeshStepper under shard_map)
+        the stream mask uses GLOBAL stream indices (the batch is split in
+        contiguous blocks along the stream axis; internal padding rows sit
+        at global index >= n_runs and never participate) and the masked
+        sums finish in a `psum` over the stream axis; with spatial sharding
+        the mean fields stay space-sharded (the mesh interval program
+        all_gathers them with the dump planes) and the Qx scalar finishes
+        in a `psum` over the space axes. On the sharded fused engine the
+        psik means are emitted in ENGINE k-order — the per-shard natural-
+        order gather would permute across shard boundaries — and the mesh
+        program applies `to_natural` after the space gather
+        (MeshStepper._interval_fn)."""
         n_runs, dv = combine
         p = self.params
         psi = snapped.psi
         batch = psi.shape[0]
-        smask = jnp.arange(batch) < (n_runs - 1)
+        idx = jnp.arange(batch)
+        if self.stream_axis is not None:
+            idx = idx + jax.lax.axis_index(self.stream_axis) * batch
+        smask = idx < (n_runs - 1)
         w = (raw.just_dumped & ~raw.aliased & smask).astype(self.rdtype)
         wg = self._bcast(w)
         nv = jnp.sum(w)
-        den = jnp.maximum(nv, 1.0)
         psik = snapped.psik
         if self.use_mxu:
             from .ops import mxu_fft
@@ -1340,15 +1360,24 @@ class Stepper:
         # synthesizer file convention: UNnormalized per-axis FFT
         # (`lib.rs:206-213`) = ortho psik scaled by N^(d/2)
         psik = psik * jnp.asarray(p.size ** (p.dims / 2.0), self.rdtype)
-        psi_m = jnp.sum(psi * wg.astype(psi.dtype), axis=0) / den.astype(psi.dtype)
-        psi2_m = jnp.sum(jnp.real(psi * jnp.conj(psi)) * wg, axis=0) / den
-        psik_m = jnp.sum(psik * wg.astype(psik.dtype), axis=0) / den.astype(
-            psik.dtype
-        )
-        psik2_m = jnp.sum(jnp.real(psik * jnp.conj(psik)) * wg, axis=0) / den
+        psi_s = jnp.sum(psi * wg.astype(psi.dtype), axis=0)
+        psi2_s = jnp.sum(jnp.real(psi * jnp.conj(psi)) * wg, axis=0)
+        psik_s = jnp.sum(psik * wg.astype(psik.dtype), axis=0)
+        psik2_s = jnp.sum(jnp.real(psik * jnp.conj(psik)) * wg, axis=0)
+        if self.stream_axis is not None:
+            nv, psi_s, psi2_s, psik_s, psik2_s = jax.lax.psum(
+                (nv, psi_s, psi2_s, psik_s, psik2_s), self.stream_axis
+            )
+        den = jnp.maximum(nv, 1.0)
+        psi_m = psi_s / den.astype(psi.dtype)
+        psi2_m = psi2_s / den
+        psik_m = psik_s / den.astype(psik.dtype)
+        psik2_m = psik2_s / den
         qx = jnp.sum(
             psi2_m - jnp.real(psi_m * jnp.conj(psi_m))
         ) * jnp.asarray(dv, self.rdtype)
+        if self.spatial_axis is not None:
+            qx = jax.lax.psum(qx, self.spatial_axis)
         return {
             "comb_n": nv,
             "comb_psi_re": jnp.real(psi_m),

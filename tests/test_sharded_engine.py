@@ -272,5 +272,54 @@ def test_sharded_engine_radix2(rng):
         np.testing.assert_allclose(
             np.asarray(m.psi)[0], np.asarray(r.psi), atol=1e-12
         )
+
+        # In-payload online-synthesis combine at R=2: the psik means travel
+        # in ENGINE k-order inside the mesh program and are permuted to
+        # natural order only AFTER the space gather — at R>1 a missing (or
+        # per-shard) permute flips k modes. One dump-bound step; the comb
+        # row must equal fields derived from the interval's own final state
+        # (single-device comb rows are covered by
+        # test_synthesis.test_online_matches_offline).
+        from msm_tpu.ops import mxu_fft
+
+        st1 = Stepper(p, jnp.complex128, dt_mode="lagged")
+        dt_k = p.cfl * 2.0 * p.axis_length / (math.sqrt(st1.k2_max) * p.hbar_)
+        pc = list(
+            cfg.iter_stream_parameters(
+                cfg.parse_toml_dict(
+                    dict(base, final_sim_time=0.5 * dt_k, num_data_dumps=1)
+                )
+            )
+        )[-1]
+        msc = MeshStepper(
+            pc, Mesh(devs, ("stream", "x", "y")), jnp.complex128, dt_mode="lagged"
+        )
+        assert msc.stepper.sharded_engine
+        dv = pc.dx**3
+        final, outs = jax.block_until_ready(
+            msc.evolve_intervals(msc.init_state(psi[None]), 1, combine=(2, dv))
+        )
+        assert float(outs["comb_n"][0]) == 1.0
+        psi_f = np.asarray(final.psi)[0]
+        psik_nat = (
+            np.asarray(mxu_fft.to_natural(jnp.asarray(final.psik), 3))[0]
+            * 256**1.5
+        )
+        comb_psi = np.asarray(outs["comb_psi_re"][0]) + 1j * np.asarray(
+            outs["comb_psi_im"][0]
+        )
+        np.testing.assert_allclose(comb_psi, psi_f, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(outs["comb_psi2"][0]), np.abs(psi_f) ** 2, atol=1e-12
+        )
+        comb_psik = np.asarray(outs["comb_psik_re"][0]) + 1j * np.asarray(
+            outs["comb_psik_im"][0]
+        )
+        np.testing.assert_allclose(comb_psik, psik_nat, atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(outs["comb_psik2"][0]), np.abs(psik_nat) ** 2, atol=1e-9
+        )
+        # one-stream ensemble: the variance sum is identically ~0
+        assert abs(float(outs["comb_qx"][0])) < 1e-10
     finally:
         fft_ops.set_default_mode("xla")
