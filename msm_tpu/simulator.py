@@ -214,10 +214,22 @@ class _BlockedOutsView:
         )
 
         self.n = n
+        # comb_* full-grid mean fields are written by process 0 only
+        # (OnlineCombiner.write_row): don't pay kblock x 6 grids of
+        # device->host transfer on the processes that discard them.
+        # comb_n / comb_qx stay fetched everywhere (tiny, and the write
+        # gate reads comb_n).
+        skip_grids = {"psi_re", "psi_im", "pot"}
+        if jax.process_index() != 0:
+            skip_grids |= {
+                name
+                for name in outs
+                if name.startswith("comb_") and name not in ("comb_n", "comb_qx")
+            }
         self.scal = {
             name: host_local_value(v)
             for name, v in outs.items()
-            if name not in ("psi_re", "psi_im", "pot")
+            if name not in skip_grids
         }
         re, im = outs["psi_re"], outs["psi_im"]
         self._sliced = not getattr(re, "is_fully_addressable", True)
@@ -901,11 +913,13 @@ def run_config(
         # every process reads them from the payload, process 0 writes).
         # Only multi-process plain-Stepper layouts (kblock forced to 1)
         # keep the one-interval loop below.
+        from .parallel.sharded import MeshStepper as _MeshStepper
+
         combine_cfg = None
         if combiner is not None and (
-            isinstance(stepper, Stepper)
+            type(stepper) is Stepper
             and jax.process_count() == 1
-            or type(stepper).__name__ == "MeshStepper"
+            or isinstance(stepper, _MeshStepper)
         ):
             combine_cfg = (n, combiner.dv)
         kblock = (
@@ -1175,6 +1189,18 @@ def run_config(
         progress.finish()
     if backend is not None:
         backend.close()
+    if jax.process_count() > 1:
+        # Returning from run_config on ANY process implies EVERY process's
+        # outputs (dumps, manifests, combined fields, Qx) are durable: the
+        # async writer pool drained at the `with` exit above and process-0-
+        # only writes (combiner.finalize) happened before it, so one global
+        # barrier gives peers read-your-peers'-writes semantics on a shared
+        # filesystem (e.g. an immediate synthesize pass over the run).
+        # Without it a fast peer can race a slower writer — observed when
+        # the blocked-payload fetch got cheaper on non-zero processes.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("msm_tpu.run_config.done")
     return [state]
 
 

@@ -53,7 +53,8 @@ def main():
     print("manifest:", {k: man[k] for k in (
         "n_steps", "replays", "current_dumps", "max_norm_err") if k in man},
         flush=True)
-    arr = np.load(os.path.join(root, "optlong", "psi_00004_real.npy"))
+    # dump files carry no .npy extension (reference naming convention)
+    arr = np.load(os.path.join(root, "optlong", "psi_00004_real"))
     print("final dump shape", arr.shape, "finite:", np.isfinite(arr).all(), flush=True)
     replay_rate = man.get("replays", 0) / max(man.get("n_steps", 1), 1)
     print(f"replay rate {replay_rate:.4f} over {man.get('n_steps')} steps", flush=True)

@@ -124,6 +124,45 @@ def test_mesh_stepper_matches_single_device(mesh_shape):
     )
 
 
+def test_mesh_optimistic_forced_replay():
+    """The optimistic-dt validated replay on a MESH: an understated
+    carried bound forces >=1 per-stream replay (the fused where-select
+    revert, validated against a pmax over the space axes); trajectory,
+    replay counts and step counts must match the single-device run
+    (single-device forced replay: test_stepper.py
+    test_optimistic_dt_potential_bound_validation_and_replay)."""
+    import dataclasses
+
+    toml = _toml()
+    toml = dataclasses.replace(
+        toml, total_mass=5e12, final_sim_time=0.5, num_data_dumps=2, cfl=0.4
+    )
+    p = cfg.resolve_parameters(toml)
+    mesh = _mesh(2, 4)
+    psi0 = np.asarray(build_ics(p))
+    batch = np.stack([psi0, np.roll(psi0, 3, axis=0)])
+
+    single = Stepper(p, jnp.complex128, dt_mode="optimistic")
+    ms = MeshStepper(p, mesh, jnp.complex128, dt_mode="optimistic")
+    s0 = single.init_state(batch, batched=True)
+    m0 = ms.init_state(batch)
+    tiny = 1e-30
+    s0 = dataclasses.replace(s0, phi_max=jnp.zeros_like(s0.phi_max) + tiny)
+    m0 = dataclasses.replace(m0, phi_max=jnp.zeros_like(m0.phi_max) + tiny)
+    s1 = single.evolve_to_next_dump(s0)
+    m1 = ms.evolve_to_next_dump(m0)
+    assert int(np.asarray(s1.replays).max()) >= 1
+    np.testing.assert_array_equal(
+        np.asarray(m1.replays), np.asarray(s1.replays)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m1.n_steps), np.asarray(s1.n_steps)
+    )
+    np.testing.assert_allclose(
+        ms.gather_psi(m1), np.asarray(s1.psi), atol=1e-10
+    )
+
+
 def test_mesh_stepper_expanding():
     toml = cfg.TomlParameters(
         axis_length=30.0,

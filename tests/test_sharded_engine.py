@@ -246,11 +246,19 @@ def test_sharded_engine_radix2(rng):
     """R=2 (size 256) coverage: the radix butterflies' sharded s12 table
     slicing follows STORED engine order (residue-major chunks), which only
     differs from natural order when R > 1. One step on a (1,2,1) mesh must
-    be bit-exact vs single-device. ~3 min in interpret mode."""
+    be bit-exact vs single-device, and the in-payload combine row's
+    engine-order psik must be permuted to natural after the space gather.
+    final_sim_time = half the kinetic dt so every interval is ONE
+    dump-bound step (the combine section reuses the same steppers).
+    ~10 min in interpret mode (step x2 + one interval program)."""
+    from msm_tpu.grid import k2_max
+
+    L, hbar_, cflv = 30.0, 0.05, 0.5
+    dt_k = cflv * 2.0 * L / (math.sqrt(k2_max(L / 256, 3, 256)) * hbar_)
     base = dict(
-        axis_length=30.0, final_sim_time=1e9, cfl=0.5, num_data_dumps=1,
+        axis_length=L, final_sim_time=0.5 * dt_k, cfl=cflv, num_data_dumps=1,
         total_mass=1e8, sim_name="r2", k2_cutoff=0.95, alias_threshold=1e9,
-        dims=3, size=256, hbar_=0.05,
+        dims=3, size=256, hbar_=hbar_,
         ics={"type": "SphericalTophat", "radius": 5.0, "slope": 50, "delta": 10},
     )
     p = list(cfg.iter_stream_parameters(cfg.parse_toml_dict(base)))[-1]
@@ -276,28 +284,15 @@ def test_sharded_engine_radix2(rng):
         # In-payload online-synthesis combine at R=2: the psik means travel
         # in ENGINE k-order inside the mesh program and are permuted to
         # natural order only AFTER the space gather — at R>1 a missing (or
-        # per-shard) permute flips k modes. One dump-bound step; the comb
-        # row must equal fields derived from the interval's own final state
-        # (single-device comb rows are covered by
+        # per-shard) permute flips k modes. One dump-bound step (same ms);
+        # the comb row must equal fields derived from the interval's own
+        # final state (single-device comb rows are covered by
         # test_synthesis.test_online_matches_offline).
         from msm_tpu.ops import mxu_fft
 
-        st1 = Stepper(p, jnp.complex128, dt_mode="lagged")
-        dt_k = p.cfl * 2.0 * p.axis_length / (math.sqrt(st1.k2_max) * p.hbar_)
-        pc = list(
-            cfg.iter_stream_parameters(
-                cfg.parse_toml_dict(
-                    dict(base, final_sim_time=0.5 * dt_k, num_data_dumps=1)
-                )
-            )
-        )[-1]
-        msc = MeshStepper(
-            pc, Mesh(devs, ("stream", "x", "y")), jnp.complex128, dt_mode="lagged"
-        )
-        assert msc.stepper.sharded_engine
-        dv = pc.dx**3
+        dv = p.dx**3
         final, outs = jax.block_until_ready(
-            msc.evolve_intervals(msc.init_state(psi[None]), 1, combine=(2, dv))
+            ms.evolve_intervals(ms.init_state(psi[None]), 1, combine=(2, dv))
         )
         assert float(outs["comb_n"][0]) == 1.0
         psi_f = np.asarray(final.psi)[0]

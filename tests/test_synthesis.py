@@ -128,38 +128,40 @@ def test_full_pipeline_on_simulated_data(tmp_path):
     assert np.all(np.abs(qx.imag) < 1e-12)
 
 
-def test_online_matches_offline(tmp_path):
-    """Online (in-run, on-device) synthesis must reproduce the offline
-    combiner's files exactly."""
-    toml = cfg.parse_toml_dict(
-        {
-            "axis_length": 30,
-            "final_sim_time": 0.5,
-            "num_data_dumps": 2,
-            "cfl": 0.5,
-            "total_mass": 1e8,
-            "ntot": 1e6,
-            "hbar_": 0.05,
-            "sim_name": "online",
-            "k2_cutoff": 0.95,
-            "alias_threshold": 0.9,
-            "dims": 2,
-            "size": 16,
-            "ics": {"type": "SphericalTophat", "radius": 5.0, "slope": 50, "delta": 10},
-            "sampling": {"seeds": "1 to 4", "scheme": "Wigner"},
-        }
-    )
+def _run_online_vs_offline(tmp_path, overrides, mesh="none", check_qx=True):
+    """Run the same config with --online-synthesis and with the offline
+    synthesizer; assert the `-combined/` files (and Qx series) are equal.
+    Shared by the plain, mesh, and padded-mesh variants."""
+    spec = {
+        "axis_length": 30,
+        "final_sim_time": 0.5,
+        "num_data_dumps": 2,
+        "cfl": 0.5,
+        "total_mass": 1e8,
+        "ntot": 1e6,
+        "hbar_": 0.05,
+        "sim_name": "online",
+        "k2_cutoff": 0.95,
+        "alias_threshold": 0.9,
+        "dims": 2,
+        "size": 16,
+        "ics": {"type": "SphericalTophat", "radius": 5.0, "slope": 50, "delta": 10},
+        "sampling": {"seeds": "1 to 4", "scheme": "Wigner"},
+    }
+    spec.update(overrides)
+    toml = cfg.parse_toml_dict(spec)
     from msm_tpu import simulator
 
     root_on = str(tmp_path / "on")
     root_off = str(tmp_path / "off")
     simulator.run_config(
-        toml, dtype=jnp.complex128, data_root=root_on, online_synthesis=True
+        toml, dtype=jnp.complex128, data_root=root_on, online_synthesis=True,
+        mesh=mesh,
     )
     simulator.run_config(toml, dtype=jnp.complex128, data_root=root_off)
     synthesis.synthesize_toml(toml, data_root=root_off, dtype=jnp.complex128)
 
-    for dump in range(3):
+    for dump in range(spec["num_data_dumps"] + 1):
         for name in ("psi", "psi2", "psik", "psik2"):
             a = load_complex_pair(
                 os.path.join(root_on, "online-combined", f"{name}_{dump:05d}")
@@ -168,59 +170,32 @@ def test_online_matches_offline(tmp_path):
                 os.path.join(root_off, "online-combined", f"{name}_{dump:05d}")
             )
             np.testing.assert_allclose(a, b, atol=1e-11, err_msg=f"{name} dump {dump}")
-    qa = load_complex_pair(os.path.join(root_on, "online-combined", "Qx"))
-    qb = load_complex_pair(os.path.join(root_off, "online-combined", "Qx"))
-    np.testing.assert_allclose(qa, qb, atol=1e-11)
+    if check_qx:
+        qa = load_complex_pair(os.path.join(root_on, "online-combined", "Qx"))
+        qb = load_complex_pair(os.path.join(root_off, "online-combined", "Qx"))
+        np.testing.assert_allclose(qa, qb, atol=1e-11)
+
+
+def test_online_matches_offline(tmp_path):
+    """Online (in-run, on-device) synthesis must reproduce the offline
+    combiner's files exactly (single-device blocked in-payload path)."""
+    _run_online_vs_offline(tmp_path, {})
 
 
 def test_online_mesh_padded_batch(tmp_path, monkeypatch):
     """Mesh online synthesis with an internally PADDED stream batch: size
     12 is indivisible by every workable space factor of 8 devices for 3
     runs (only n_space=8 pairs with n_stream=1, and 12 % 8 != 0), so
-    mesh=auto pads 3 runs -> 8 rows (MFT copies) on a stream-only mesh. The padded
-    rows sit at global index >= n_runs and must stay out of the combine
-    mean (the global-index mask in Stepper._combine_row)."""
-    toml = cfg.parse_toml_dict(
-        {
-            "axis_length": 30,
-            "final_sim_time": 0.5,
-            "num_data_dumps": 2,
-            "cfl": 0.5,
-            "total_mass": 1e8,
-            "ntot": 1e6,
-            "hbar_": 0.05,
-            "sim_name": "online",
-            "k2_cutoff": 0.95,
-            "alias_threshold": 0.9,
-            "dims": 2,
-            "size": 12,
-            "ics": {"type": "SphericalTophat", "radius": 5.0, "slope": 50, "delta": 10},
-            "sampling": {"seeds": "1 to 2", "scheme": "Wigner"},
-        }
-    )
-    from msm_tpu import simulator
-
+    mesh=auto pads 3 runs -> 8 rows (MFT copies) on a stream-only mesh.
+    The padded rows sit at global index >= n_runs and must stay out of the
+    combine mean (the global-index mask in Stepper._combine_row)."""
     monkeypatch.setenv("MSM_INTERVAL_BLOCK", "2")
-    root_on = str(tmp_path / "on")
-    root_off = str(tmp_path / "off")
-    simulator.run_config(
-        toml,
-        dtype=jnp.complex128,
-        data_root=root_on,
-        online_synthesis=True,
+    _run_online_vs_offline(
+        tmp_path,
+        {"size": 12, "sampling": {"seeds": "1 to 2", "scheme": "Wigner"}},
         mesh="auto",
+        check_qx=False,
     )
-    simulator.run_config(toml, dtype=jnp.complex128, data_root=root_off)
-    synthesis.synthesize_toml(toml, data_root=root_off, dtype=jnp.complex128)
-    for dump in range(3):
-        for name in ("psi", "psi2", "psik", "psik2"):
-            a = load_complex_pair(
-                os.path.join(root_on, "online-combined", f"{name}_{dump:05d}")
-            )
-            b = load_complex_pair(
-                os.path.join(root_off, "online-combined", f"{name}_{dump:05d}")
-            )
-            np.testing.assert_allclose(a, b, atol=1e-11, err_msg=f"{name} dump {dump}")
 
 
 def test_online_mesh_matches_offline(tmp_path, monkeypatch):
@@ -229,52 +204,18 @@ def test_online_mesh_matches_offline(tmp_path, monkeypatch):
     psum over the stream axis, space-gathered mean fields, Qx psummed over
     the space axes) and must reproduce the offline combiner's files. 3
     streams + MFT over 8 virtual devices -> a (stream=4, x=2) mesh: both
-    the stream axis AND the grid are sharded."""
-    toml = cfg.parse_toml_dict(
-        {
-            "axis_length": 30,
-            "final_sim_time": 0.5,
-            "num_data_dumps": 4,
-            "cfl": 0.5,
-            "total_mass": 1e8,
-            "ntot": 1e6,
-            "hbar_": 0.05,
-            "sim_name": "online",
-            "k2_cutoff": 0.95,
-            "alias_threshold": 0.9,
-            "dims": 2,
-            "size": 16,
-            "ics": {"type": "SphericalTophat", "radius": 5.0, "slope": 50, "delta": 10},
-            "sampling": {"seeds": "1 to 3", "scheme": "Wigner"},
-        }
-    )
-    from msm_tpu import simulator
-
+    the stream axis AND the grid are sharded; output_potential rides the
+    same payload."""
     monkeypatch.setenv("MSM_INTERVAL_BLOCK", "2")
-    root_on = str(tmp_path / "on")
-    root_off = str(tmp_path / "off")
-    simulator.run_config(
-        toml,
-        dtype=jnp.complex128,
-        data_root=root_on,
-        online_synthesis=True,
+    _run_online_vs_offline(
+        tmp_path,
+        {
+            "num_data_dumps": 4,
+            "output_potential": True,
+            "sampling": {"seeds": "1 to 3", "scheme": "Wigner"},
+        },
         mesh="auto",
     )
-    simulator.run_config(toml, dtype=jnp.complex128, data_root=root_off)
-    synthesis.synthesize_toml(toml, data_root=root_off, dtype=jnp.complex128)
-
-    for dump in range(5):
-        for name in ("psi", "psi2", "psik", "psik2"):
-            a = load_complex_pair(
-                os.path.join(root_on, "online-combined", f"{name}_{dump:05d}")
-            )
-            b = load_complex_pair(
-                os.path.join(root_off, "online-combined", f"{name}_{dump:05d}")
-            )
-            np.testing.assert_allclose(a, b, atol=1e-11, err_msg=f"{name} dump {dump}")
-    qa = load_complex_pair(os.path.join(root_on, "online-combined", "Qx"))
-    qb = load_complex_pair(os.path.join(root_off, "online-combined", "Qx"))
-    np.testing.assert_allclose(qa, qb, atol=1e-11)
 
 
 def test_scalar_and_post_array_registry(tmp_path, rng):
