@@ -61,8 +61,15 @@ def load_keypair(path: str) -> tuple[str, bytes]:
     text = raw.strip()
     if text.startswith(b"["):
         try:
-            ints = json.loads(text)
-            data = bytes(int(b) & 0xFF for b in ints)
+            ints = [int(b) for b in json.loads(text)]
+            if any(not 0 <= b <= 255 for b in ints):
+                # reject out-of-range bytes instead of masking them: a
+                # silently mangled key fails server-side with opaque auth
+                # errors; the reference raises for unusable keypairs
+                raise KeypairError(
+                    f"keypair file {path!r} has byte values outside 0..255"
+                )
+            data = bytes(ints)
         except (ValueError, TypeError) as e:
             raise KeypairError(f"malformed JSON keypair {path!r}: {e}") from e
     elif len(text) == 128:
@@ -214,6 +221,13 @@ class HttpTransport:
                     if 200 <= resp.status < 300:
                         return resp.read()
                     last = OSError(f"{method} {url} -> HTTP {resp.status}")
+            except urllib.error.HTTPError as e:
+                # a definitive server answer: 4xx is not transient — e.g.
+                # a store without listing support 404s the root handshake
+                # on every construction; retrying only adds backoff sleeps
+                if 400 <= e.code < 500:
+                    raise OSError(f"{method} {url} -> HTTP {e.code}") from e
+                last = e
             except (urllib.error.URLError, OSError) as e:
                 last = e
             if attempt + 1 < self.retries:

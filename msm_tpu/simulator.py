@@ -900,7 +900,15 @@ def run_config(
             combine_dump(np.ones(n, bool), 0)
 
         total_steps = 0
-        prev_steps_batch = 0
+        # seed from the resumed counters (run_single does the same) so the
+        # first telemetry suffix reports this interval's steps, not the
+        # whole historical count of a resumed run
+        if resume:
+            from .parallel.mesh import host_local_value
+
+            prev_steps_batch = int(host_local_value(state.n_steps).max())
+        else:
+            prev_steps_batch = 0
 
         # Interval blocking (k dump intervals per dispatch, see
         # stepper.evolve_intervals): single-process plain-Stepper runs —

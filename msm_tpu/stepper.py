@@ -176,7 +176,7 @@ class Stepper:
         # remains enforced against a potential at most one step stale.
         # "optimistic" (production default): dt is PROPOSED from the carried
         # max|phi| like lagged, scaled by a safety factor (MSM_DT_SAFETY,
-        # default 0.9), and VALIDATED after the step against the fresh
+        # default 0.95), and VALIDATED after the step against the fresh
         # midpoint max|phi| the step's own Poisson solve produces. A step
         # whose dt violates the CFL potential bound against the fresh value
         # is discarded and replayed with the corrected bound (the same
@@ -760,10 +760,19 @@ class Stepper:
         runaway collapse the prediction tracks the growth, so validation
         failures stay confined to growth-rate CHANGES instead of firing
         every step (measured: the 256^3 collapse bench went from 37%
-        replays with the raw fresh bound to ~0 with prediction)."""
-        growth = jnp.clip(
-            pm_fresh / jnp.maximum(state.phi_ref, 1e-300), 1.0, 2.0
+        replays with the raw fresh bound to ~0 with prediction).
+
+        The division floor MUST be representable in the carried dtype: a
+        python 1e-300 underflows to 0.0 in float32 (the production
+        non-x64 tdtype), making a zero-potential stream produce
+        growth = 0/0 = NaN -> NaN dt -> a never-terminating jitted
+        while_loop. finfo.tiny of the actual dtype keeps 0/tiny = 0,
+        which the clip lifts to growth 1 (tests/test_stepper.py::
+        test_predict_bound_zero_potential_f32)."""
+        ref = jnp.maximum(
+            state.phi_ref, jnp.finfo(jnp.asarray(state.phi_ref).dtype).tiny
         )
+        growth = jnp.clip(pm_fresh / ref, 1.0, 2.0)
         return jnp.maximum(pm_fresh * growth, state.phi_max * self.dt_decay)
 
     def _dt_invalid(self, dt, phi_max_fresh, a):

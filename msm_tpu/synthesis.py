@@ -422,14 +422,7 @@ class OnlineCombiner:
         if not write:
             return
         host = {name: device_get_complex(arr) for name, arr in fields.items()}
-        size = host["psi"].shape[0]
-        pad = (1,) * (4 - self.dims)
-        for name, arr in host.items():
-            arr4 = arr.reshape((size,) * self.dims + pad)
-            if self.writer is not None:
-                self.writer.submit(os.path.join(self.out_dir, f"{name}_{dump:05d}"), arr4)
-            else:
-                write_complex_pair(os.path.join(self.out_dir, f"{name}_{dump:05d}"), arr4)
+        self._write_fields(host, dump)
         self.qx_series[dump] = complex(
             np.sum(host["psi2"] - host["psi"] * np.conj(host["psi"])) * self.dv
         )
@@ -447,19 +440,24 @@ class OnlineCombiner:
             + 1j * np.asarray(row["comb_psik_im"]),
             "psik2": np.asarray(row["comb_psik2"]),
         }
-        size = re.shape[0]
+        self._write_fields(
+            {name: arr.astype(cdt) for name, arr in fields.items()}, dump
+        )
+        self.qx_series[dump] = complex(float(np.asarray(row["comb_qx"])))
+
+    def _write_fields(self, fields: dict, dump: int) -> None:
+        """The one copy of the `-combined/` file layout (4-D padded npy
+        pairs via the async writer when present) both the one-interval
+        (`on_dump`) and blocked (`write_row`) paths share."""
+        size = fields["psi"].shape[0]
         pad = (1,) * (4 - self.dims)
         for name, arr in fields.items():
-            arr4 = arr.astype(cdt).reshape((size,) * self.dims + pad)
+            arr4 = arr.reshape((size,) * self.dims + pad)
+            dest = os.path.join(self.out_dir, f"{name}_{dump:05d}")
             if self.writer is not None:
-                self.writer.submit(
-                    os.path.join(self.out_dir, f"{name}_{dump:05d}"), arr4
-                )
+                self.writer.submit(dest, arr4)
             else:
-                write_complex_pair(
-                    os.path.join(self.out_dir, f"{name}_{dump:05d}"), arr4
-                )
-        self.qx_series[dump] = complex(float(np.asarray(row["comb_qx"])))
+                write_complex_pair(dest, arr4)
 
     def finalize(self) -> None:
         """Write the Qx time series (`synthesizer/src/main.rs:161-173`)."""

@@ -351,12 +351,22 @@ def run_scaling_bench(size: int = 64, dims: int = 3, steps: int = 5) -> dict:
         per = n // n_proc
         return [d for pi in sorted(by_proc) for d in by_proc[pi][:per]]
 
-    points = []
-    n = 1
-    while n <= len(devices):
-        if n_proc > 1 and n > 1 and n % n_proc:
+    # Device counts to visit: the 1-device baseline, then powers of two
+    # (single process) or every multiple of the process count (multi
+    # process — a power-of-two walk would skip ALL multi-device points
+    # when n_proc is not a power of two and silently report a baseline-
+    # only table with efficiency 1.0).
+    if n_proc == 1:
+        counts, n = [1], 2
+        while n <= len(devices):
+            counts.append(n)
             n *= 2
-            continue
+    else:
+        counts = [1] + [
+            k * n_proc for k in range(1, len(devices) // n_proc + 1)
+        ]
+    points = []
+    for n in counts:
         # pencil split: px >= py, px*py = n
         py = int(n**0.5)
         while n % py:
@@ -405,7 +415,6 @@ def run_scaling_bench(size: int = 64, dims: int = 3, steps: int = 5) -> dict:
                 "cell_updates_per_s": round(gsize**dims / dt, 1),
             }
         )
-        n *= 2
     # cubic grids cannot hold per-device volume exactly constant across
     # device counts, so efficiency is per-device THROUGHPUT normalized to
     # the single-device point (load-invariant)
@@ -446,10 +455,13 @@ def _spawn_scaling_procs(args) -> None:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
+    # repo checkout: three dirs up is /bench.py; installed package: fall
+    # back to `-m msm_tpu bench` (same flags via the CLI bench subcommand)
     bench = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "bench.py",
     )
+    entry = [bench] if os.path.exists(bench) else ["-m", "msm_tpu", "bench"]
     dpp = int(getattr(args, "devices_per_proc", 4) or 4)
     procs = []
     for i in range(args.processes):
@@ -463,7 +475,7 @@ def _spawn_scaling_procs(args) -> None:
             XLA_FLAGS=f"--xla_force_host_platform_device_count={dpp}",
         )
         cmd = [
-            sys.executable, bench, "--metric", "scaling",
+            sys.executable, *entry, "--metric", "scaling",
             "--size", str(args.size), "--steps", str(args.steps),
             "--processes", str(args.processes),
         ]

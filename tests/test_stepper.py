@@ -186,6 +186,23 @@ def test_lagged_dt_mode():
     assert err / scale < 5e-3
 
 
+def test_predict_bound_zero_potential_f32():
+    """f32 regression: a zero-potential stream (uniform density -> phi=0,
+    e.g. unperturbed ICs) must not poison the carried optimistic bound.
+    A python 1e-300 floor underflows to 0.0 in float32 (the production
+    non-x64 tdtype), making growth = 0/0 = NaN -> NaN dt -> a
+    never-terminating jitted while_loop; the floor must be finfo.tiny of
+    the carried dtype so 0/tiny = 0 and the clip lifts growth to 1."""
+    p = _params(dims=1, size=32, num_data_dumps=2, final_sim_time=1.0)
+    st = Stepper(p, jnp.complex128, dt_mode="optimistic")
+    state = st.init_state(np.asarray(ics.build_ics(p)))
+    zero32 = jnp.zeros((), jnp.float32)
+    s = dataclasses.replace(state, phi_ref=zero32, phi_max=zero32)
+    out = np.asarray(st._predict_bound(zero32, s))
+    assert np.isfinite(out).all()
+    assert float(out) == 0.0  # zero bound => infinite potential dt, CFL-safe
+
+
 def test_optimistic_dt_matches_exact_when_not_potential_bound():
     """Optimistic mode (the production default): when dt is kinetic- or
     dump-bound throughout, the proposal equals the exact-mode dt and the
