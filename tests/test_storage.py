@@ -77,6 +77,7 @@ class _LoopbackStore:
         self.objects: dict[str, bytes] = {}
         self.accounts = list(accounts)
         self.put_count = 0
+        self.get_count = 0
         self.auth_failures = 0
         self.fail_remaining = fail_first
         if require_keypair is not None:
@@ -120,6 +121,7 @@ class _LoopbackStore:
                 self.end_headers()
 
             def do_GET(self):  # noqa: N802
+                store.get_count += 1
                 if not self._authorized("GET"):
                     return
                 if self.path == "/":
@@ -250,6 +252,29 @@ def test_keypair_loading_and_errors(tmp_path):
     bad.write_text("[1, 2, 3]")
     with pytest.raises(KeypairError):
         load_keypair(str(bad))
+    # out-of-range bytes are REJECTED, not masked into corrupt key
+    # material (a mangled key fails server-side with opaque auth errors)
+    oor = tmp_path / "oor.json"
+    oor.write_text(str([256] + list(range(63))))
+    with pytest.raises(KeypairError):
+        load_keypair(str(oor))
+
+
+def test_http_4xx_fails_fast(rng):
+    """A definitive 4xx answer (missing object, store without listing
+    support) is NOT retried: one attempt, no backoff sleeps — the
+    handshake against a non-listing store used to cost ~0.75 s of dead
+    retries on every backend construction."""
+    from msm_tpu.io.storage import HttpTransport
+
+    store = _LoopbackStore()
+    try:
+        tr = HttpTransport(store.url, retries=3, backoff_s=0.05)
+        with pytest.raises(OSError):
+            tr.get_pair("acct", "nope_00000")
+        assert store.get_count == 1  # single attempt, no retry
+    finally:
+        store.close()
 
 
 def test_http_auth_handshake_and_readback(tmp_path, rng):
