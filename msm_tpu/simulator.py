@@ -15,6 +15,7 @@ of killing the batch (the reference panics: `simulation_object.rs:607-617`).
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import dataclasses
 import logging
 import os
@@ -339,9 +340,26 @@ class _EnsembleHostView:
         if fetch_psi and getattr(stepper, "shard_space", False):
             psi_src = stepper.gather_spatial(state.psi)
         self.owned = [i for i in write_owner_indices(psi_src) if i < n]
-        self._psi = (
-            fetch_batch_slices(psi_src, self.owned) if fetch_psi else None
-        )
+        if fetch_psi:
+            # complex dtypes cannot cross host<->device on the tunneled
+            # TPU backend (CLAUDE.md): split to real planes in-jit
+            # (sharding-preserving elementwise op) and fetch those, like
+            # the blocked payload and the single-host path do
+            from .utils.transfer import _split
+
+            re_d, im_d = _split(psi_src)
+            re_s = fetch_batch_slices(re_d, self.owned)
+            im_s = fetch_batch_slices(im_d, self.owned)
+            self._psi = {
+                i: (re_s[i] + 1j * im_s[i]).astype(
+                    np.complex64
+                    if re_s[i].dtype == np.float32
+                    else np.complex128
+                )
+                for i in self.owned
+            }
+        else:
+            self._psi = None
 
     def scalar(self, name: str) -> np.ndarray:
         if self.multihost:
@@ -367,7 +385,7 @@ class _EnsembleHostView:
         }
 
 
-def _try_resume_batch(runs, stepper: Stepper, data_root: str, pad_to: int):
+def _try_resume_batch(runs, stepper: Stepper, pad_to: int):
     """Rebuild a batched SimState from per-run manifests + last psi dumps.
 
     Returns None when any run lacks a usable checkpoint (fresh start).
@@ -402,6 +420,10 @@ def _try_resume_batch(runs, stepper: Stepper, data_root: str, pad_to: int):
         aliased=jnp.asarray(
             [bool(m.get("aliased", False)) for m in manifests], jnp.bool_
         ),
+        # cumulative replay telemetry survives resume (manifests carry it)
+        replays=arr("replays", jnp.int32)
+        if all("replays" in m for m in manifests)
+        else state.replays,
     )
 
 
@@ -436,6 +458,16 @@ def _debug_validate(
             f"norm violation at {where}: sum|psi|^2 dV = {norm:.6g} "
             f"(eps = {eps:g})"
         )
+
+
+@_contextlib.contextmanager
+def _closing(resource):
+    """contextlib.closing that tolerates None (no remote backend)."""
+    try:
+        yield resource
+    finally:
+        if resource is not None:
+            resource.close()
 
 
 def _report_aliasing(params: SimulationParameters, mass: float, strict: bool):
@@ -559,8 +591,10 @@ def run_single(
     """Run one simulation to completion, dumping psi at every boundary."""
     eps = _resolve_check_eps(check_eps, dtype)
     stepper = Stepper(params, dtype, dt_mode=dt_mode, debug_checks=debug_checks)
-    if backend is None and use_remote_storage:
+    own_backend = backend is None and use_remote_storage
+    if own_backend:
         backend = storage_backend_for(params, data_root, writer)
+        own_backend = backend is not None
     run = SimulationRun(params, data_root, writer, backend=backend)
 
     start_dump = 0
@@ -711,8 +745,15 @@ def run_single(
             else:
                 inflight = speculative if speculate else _advance(state)
     finally:
-        if own_writer:
-            writer.close()
+        try:
+            if own_writer:
+                writer.close()
+        finally:
+            if own_backend:
+                # drain the backend's own upload pool and surface any
+                # stashed upload failure — run_single returning implies
+                # remote dumps are durable, like the local writer's close
+                backend.close()
     return state
 
 
@@ -789,7 +830,7 @@ def run_config(
     runs = [SimulationRun(p, data_root, backend=backend) for p in all_params]
 
     resumed_state = (
-        _try_resume_batch(runs, stepper, data_root, pad_to) if resume else None
+        _try_resume_batch(runs, stepper, pad_to) if resume else None
     )
     if resumed_state is not None:
         state = resumed_state
@@ -833,7 +874,18 @@ def run_config(
         return [state]
 
     n = len(all_params)
-    reported_alias = [False] * n
+    # a stream already frozen at resume time was reported (and its
+    # manifest written) by the original run — re-reporting it here would
+    # log/raise with the fresh state's alias_mass of 0.0 (manifests do
+    # not carry the offending mass)
+    if resume and getattr(state.aliased, "is_fully_addressable", True):
+        resumed_aliased = np.asarray(state.aliased)
+        reported_alias = [bool(resumed_aliased[i]) for i in range(n)]
+    else:
+        # multihost: the aliased leaf is stream-sharded (a local shard's
+        # indices are not global stream indices) — keep the conservative
+        # re-report rather than misalign
+        reported_alias = [False] * n
     t_start = _time.monotonic()
     from .utils.profiling import ProgressReporter, StepTimer, profiler_trace
 
@@ -842,7 +894,12 @@ def run_config(
     )
     timer = StepTimer(cells_per_step=n * toml.size**toml.dims)
     timer.start()
-    with AsyncGridWriter() as writer, profiler_trace(profile_dir):
+    # the backend (own upload pool) closes LAST on every exit path —
+    # exceptions included — so queued remote PUTs drain and stashed
+    # upload failures surface instead of dying with the interpreter
+    with _closing(backend), AsyncGridWriter() as writer, profiler_trace(
+        profile_dir
+    ):
         for r in runs:
             r.writer = writer
 
@@ -859,11 +916,16 @@ def run_config(
             # element) never participates in the ensemble average. The
             # reduction is collective (runs on every process); only process
             # 0 writes the combined files.
-            if combiner is None or not valid_streams[:-1].any():
+            if combiner is None or not valid_streams[: n - 1].any():
                 return
+            # only the real sampled streams (global index < n-1) are ever
+            # averaged: the MFT sits at n-1 and internal padding rows
+            # (mesh=auto, single-host views are NOT truncated to n) at
+            # >= n — masking just the last element of valid_streams would
+            # zero a padding row and average in the MFT + its copies
             weights = np.zeros(state.psi.shape[0], bool)
-            weights[: len(valid_streams)] = valid_streams
-            weights[len(valid_streams) - 1] = False  # MFT never averaged
+            m = min(len(valid_streams), n - 1)
+            weights[:m] = valid_streams[:m]
             psi_dev = state.psi
             if jax.process_count() > 1 and getattr(stepper, "shard_space", False):
                 # replicate grids over space axes so the combined outputs
@@ -1002,14 +1064,19 @@ def run_config(
                                 # a distributed hang instead of an abort.
                                 # Non-strict logging + manifest stay
                                 # owner-only.
+                                # manifest BEFORE the (possibly raising)
+                                # strict report: a resume after the abort
+                                # must see aliased=True + final counters,
+                                # not restart the stream into the same
+                                # abort (run_single's order, :663-666)
+                                if i in owned:
+                                    r.write_manifest(row_scalars(i))
                                 if i in owned or strict_alias:
                                     _report_aliasing(
                                         all_params[i],
                                         float(view.scalar("alias_mass")[j][i]),
                                         strict_alias,
                                     )
-                                if i in owned:
-                                    r.write_manifest(row_scalars(i))
                             continue
                         if not jd[i] or i not in owned:
                             continue
@@ -1117,13 +1184,15 @@ def run_config(
                 r = runs[i]
                 if aliased[i]:
                     if not reported_alias[i]:
+                        reported_alias[i] = True
+                        # manifest before the (possibly raising) strict
+                        # report — see the blocked loop
+                        r.write_manifest(view.run_scalars(i))
                         _report_aliasing(
                             all_params[i],
                             float(view.scalar("alias_mass")[i]),
                             strict_alias,
                         )
-                        reported_alias[i] = True
-                        r.write_manifest(view.run_scalars(i))
                     continue
                 if just_dumped[i]:
                     if debug_checks:
@@ -1164,11 +1233,14 @@ def run_config(
                     just_dumped & ~aliased, int(dumps_np[just_dumped.argmax()])
                 )
             done = int(dumps_np.min())
+            # [:n]: single-host views are not truncated — padding rows are
+            # MFT copies whose replays would inflate the sum (the blocked
+            # loop already slices [:n])
             extra = _telemetry_suffix(
                 total_steps - prev_steps_batch,
-                float(np.asarray(pre_view.scalar("dt_min")).min()),
-                float(np.asarray(pre_view.scalar("dt_max")).max()),
-                int(np.asarray(pre_view.scalar("replays")).sum()),
+                float(np.asarray(pre_view.scalar("dt_min"))[:n].min()),
+                float(np.asarray(pre_view.scalar("dt_max"))[:n].max()),
+                int(np.asarray(pre_view.scalar("replays"))[:n].sum()),
             )
             prev_steps_batch = max(prev_steps_batch, total_steps)
             if toml.cosmology is not None:
@@ -1195,8 +1267,6 @@ def run_config(
         if verbose:
             print(timer.summary(), flush=True)
         progress.finish()
-    if backend is not None:
-        backend.close()
     if jax.process_count() > 1:
         # Returning from run_config on ANY process implies EVERY process's
         # outputs (dumps, manifests, combined fields, Qx) are durable: the

@@ -182,14 +182,18 @@ def test_online_matches_offline(tmp_path):
     _run_online_vs_offline(tmp_path, {})
 
 
-def test_online_mesh_padded_batch(tmp_path, monkeypatch):
+@pytest.mark.parametrize("kblock", ["2", "1"])
+def test_online_mesh_padded_batch(tmp_path, monkeypatch, kblock):
     """Mesh online synthesis with an internally PADDED stream batch: size
     12 is indivisible by every workable space factor of 8 devices for 3
     runs (only n_space=8 pairs with n_stream=1, and 12 % 8 != 0), so
     mesh=auto pads 3 runs -> 8 rows (MFT copies) on a stream-only mesh.
     The padded rows sit at global index >= n_runs and must stay out of the
-    combine mean (the global-index mask in Stepper._combine_row)."""
-    monkeypatch.setenv("MSM_INTERVAL_BLOCK", "2")
+    combine mean: kblock=2 exercises the in-payload global-index mask
+    (Stepper._combine_row), kblock=1 the host combine_dump weights (which
+    once zeroed the last PADDING row instead of the MFT, averaging the
+    MFT + its copies into every combined field)."""
+    monkeypatch.setenv("MSM_INTERVAL_BLOCK", kblock)
     _run_online_vs_offline(
         tmp_path,
         {"size": 12, "sampling": {"seeds": "1 to 2", "scheme": "Wigner"}},
