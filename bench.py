@@ -1,7 +1,16 @@
 #!/usr/bin/env python
 """Benchmark entry: 3-D KDK grid-update throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints JSON lines {"metric", "value", "unit", "vs_baseline", ...} to
+stdout — FAIL-SOFT: the optimistic-dt headline record is flushed the
+moment that first measurement completes; each sub-mode (exact/lagged dt)
+then re-prints the merged record as the new last line. Parse the LAST
+complete JSON line. Sub-modes are gated by a wall budget
+(MSM_BENCH_BUDGET_S, default 900 s from backend-ready) and recorded as
+{"skipped": reason} when the budget predicts they cannot finish, so a
+harness timeout loses at most unfinished sub-modes, never the headline.
+Progress/heartbeat lines (including the chip-grant-stall wait) go to
+stderr.
 
 The reference publishes no benchmark numbers (BASELINE.md), so
 `vs_baseline` is the fraction of the analytic speed-of-light HBM roofline

@@ -8,7 +8,76 @@ HBM roofline since the reference publishes no numbers.
 from __future__ import annotations
 
 import json
+import sys
 import time
+
+
+def _log(msg: str) -> None:
+    """Progress/heartbeat lines go to STDERR so stdout stays a clean
+    stream of JSON records for the driver to parse."""
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit(record: dict) -> None:
+    """Print one COMPLETE JSON record per line, flushed immediately.
+
+    The bench contract (VERDICT r4 #1): a valid, driver-parseable JSON
+    line must exist on stdout as soon as the FIRST measurement finishes.
+    Later, richer records re-print the merged result as the new last
+    line; a timeout anywhere after the first _emit degrades the artifact
+    to the most recent complete record — never to silence (BENCH_r04 was
+    rc=124 with nothing captured because the old main printed once, at
+    the very end of three multi-minute measurements)."""
+    print(json.dumps(record), flush=True)
+
+
+def wait_for_backend(timeout_s: float = 600.0) -> float:
+    """Block until the accelerator backend answers a trivial program,
+    with a heartbeat so a stall is visible, not silent.
+
+    Handles the documented chip-grant stall (CLAUDE.md: a killed
+    predecessor process holds the TPU grant ~5 min and the next run
+    stalls silently inside the first dispatch). Runs a tiny jitted
+    reduction + value fetch (on the tunneled backend only a value
+    transfer truly syncs) in a worker thread and prints a heartbeat
+    every 15 s while waiting. Returns the wait time in seconds; raises
+    after `timeout_s` so the failure is loud instead of eating the
+    whole driver window."""
+    import threading
+
+    t0 = time.monotonic()
+    done = threading.Event()
+    err: list[BaseException] = []
+
+    def probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+            import numpy as np
+
+            dev = jax.devices()[0]
+            _log(f"backend probe: {dev.platform}/{dev.device_kind}")
+            val = float(np.asarray(jax.jit(lambda x: x.sum())(jnp.arange(8.0))))
+            assert val == 28.0
+        except BaseException as e:  # noqa: BLE001 - re-raised on the main thread
+            err.append(e)
+        finally:
+            done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    while not done.wait(15.0):
+        waited = time.monotonic() - t0
+        if waited > timeout_s:
+            raise TimeoutError(
+                f"backend still unresponsive after {waited:.0f}s "
+                "(chip grant held by a dead process?)"
+            )
+        _log(f"waiting for backend... {waited:.0f}s (grant stall clears in ~5 min)")
+    if err:
+        raise err[0]
+    waited = time.monotonic() - t0
+    _log(f"backend ready in {waited:.1f}s")
+    return waited
 
 
 _HBM_GBPS = {
@@ -430,6 +499,14 @@ def run_scaling_bench(size: int = 64, dims: int = 3, steps: int = 5) -> dict:
             max(0.0, 1.0 - pt["weak_scaling_efficiency"]), 3
         )
         pt["comm_fraction_modeled"] = modeled_a2a_fraction(pt["devices"])
+    # Label the collective transport so a CPU-rehearsal number can never
+    # be quoted as an ICI measurement (VERDICT r4 weak-#4): on the
+    # virtual-device CPU mesh comm_fraction_measured reflects XLA's
+    # host Gloo loopback collectives, NOT the interchip interconnect the
+    # comm_fraction_modeled column models.
+    dev0 = jax.devices()[0]
+    is_tpu = dev0.platform == "tpu" or "tpu" in dev0.device_kind.lower()
+    transport = "ici" if is_tpu else f"{dev0.platform}-gloo"
     return {
         "metric": "weak_scaling",
         "value": points[-1]["weak_scaling_efficiency"],
@@ -439,6 +516,7 @@ def run_scaling_bench(size: int = 64, dims: int = 3, steps: int = 5) -> dict:
         ),
         "vs_baseline": points[-1]["weak_scaling_efficiency"],
         "processes": n_proc,
+        "transport": transport,
         "points": points,
     }
 
@@ -495,7 +573,8 @@ def _spawn_scaling_procs(args) -> None:
 def main(args) -> None:
     metric = getattr(args, "metric", "kdk")
     if metric == "streams":
-        print(json.dumps(run_ensemble_bench(streams=args.streams or 128)))
+        wait_for_backend()
+        _emit(run_ensemble_bench(streams=args.streams or 128))
         return
     if metric == "scaling":
         import os
@@ -516,16 +595,15 @@ def main(args) -> None:
         import jax
 
         if jax.process_index() == 0:
-            print(json.dumps(out))
+            _emit(out)
         return
     dt_mode = getattr(args, "dt_mode", "all")
     if dt_mode not in ("both", "all"):
-        print(
-            json.dumps(
-                run_kdk_bench(
-                    args.size, args.dims, args.streams or 1, args.steps,
-                    dt_mode=dt_mode,
-                )
+        wait_for_backend()
+        _emit(
+            run_kdk_bench(
+                args.size, args.dims, args.streams or 1, args.steps,
+                dt_mode=dt_mode,
             )
         )
         return
@@ -536,16 +614,48 @@ def main(args) -> None:
     # strict --dt-mode exact semantics) and the unvalidated lagged mode
     # ride along as sub-records with their own roofline fractions
     # (BASELINE.md documents the exact mode's 8-pass floor).
+    #
+    # FAIL-SOFT STRUCTURE (VERDICT r4 #1): the headline record is emitted
+    # the moment it exists; each sub-mode re-emits the merged record as
+    # the new last line. Sub-modes only run while the remaining wall
+    # budget (MSM_BENCH_BUDGET_S, measured from backend-ready) predicts
+    # they can finish — each costs about what the headline did (same
+    # grid, a fresh multi-minute remote compile dominates) — otherwise
+    # they are recorded as skipped. A driver timeout therefore loses at
+    # most the not-yet-finished sub-modes, never the headline.
+    import os
+
+    budget_s = float(os.environ.get("MSM_BENCH_BUDGET_S", "900"))
+    wait_for_backend()
+    t0 = time.monotonic()
     sub_keys = ("value", "vs_baseline", "vs_dma_bound", "steps_per_s")
+    _log("measuring headline (optimistic dt)...")
     out = run_kdk_bench(
         args.size, args.dims, args.streams or 1, args.steps, dt_mode="optimistic"
     )
-    exact = run_kdk_bench(
-        args.size, args.dims, args.streams or 1, args.steps, dt_mode="exact"
-    )
-    lagged = run_kdk_bench(
-        args.size, args.dims, args.streams or 1, args.steps, dt_mode="lagged"
-    )
-    out["exact_dt"] = {k: exact[k] for k in sub_keys}
-    out["lagged_dt"] = {k: lagged[k] for k in sub_keys}
-    print(json.dumps(out))
+    t_head = time.monotonic() - t0
+    out["bench_budget_s"] = budget_s
+    _emit(out)
+    _log(f"headline done in {t_head:.0f}s: {out['value']:.3e} {out['metric']}")
+    for mode, key in (("exact", "exact_dt"), ("lagged", "lagged_dt")):
+        remaining = budget_s - (time.monotonic() - t0)
+        # self-calibrating cost estimate: a sub-mode compiles+runs the
+        # same grid, so the headline's own wall time (x1.3 margin) is
+        # the best predictor available
+        need = 1.3 * t_head + 30.0
+        if remaining < need:
+            out[key] = {
+                "skipped": (
+                    f"wall budget: {remaining:.0f}s left < {need:.0f}s "
+                    f"predicted (MSM_BENCH_BUDGET_S={budget_s:.0f})"
+                )
+            }
+            _emit(out)
+            _log(f"{mode} dt skipped ({remaining:.0f}s left < {need:.0f}s needed)")
+            continue
+        _log(f"measuring {mode} dt sub-mode ({remaining:.0f}s budget left)...")
+        sub = run_kdk_bench(
+            args.size, args.dims, args.streams or 1, args.steps, dt_mode=mode
+        )
+        out[key] = {k: sub[k] for k in sub_keys}
+        _emit(out)
