@@ -216,6 +216,17 @@ class Stepper:
         self.dt_decay = min(
             1.0, max(0.0, float(os.environ.get("MSM_DT_DECAY", "0.99")))
         )
+        # Validation-exercise knob (default 1.0 = production): scale the
+        # INITIAL carried proposal bound. Values < 1 understate it, so the
+        # first optimistic step(s) propose an over-long dt, fail the fresh
+        # midpoint validation and replay with the corrected bound — the
+        # full revert/replay machinery runs deterministically through the
+        # production driver (used by __graft_entry__.dryrun_multichip and
+        # harness smoke; semantics stay correct because validation always
+        # enforces the CFL bound against the fresh max|phi|).
+        self.dt_init_bound_scale = max(
+            0.0, float(os.environ.get("MSM_DT_INIT_BOUND_SCALE", "1.0"))
+        )
         # MXU-FFT engine path: k-space lives in the per-axis residue-major
         # "engine order" (ops/mxu_fft.py docstring) so the Pallas CT-matmul
         # transforms never shuffle data; the k^2 constants below are
@@ -599,7 +610,7 @@ class Stepper:
             alias_mass=scalars(jnp.zeros((), self.rdtype)),
             phi_max=(pm0 := self._spatial_max(
                 jnp.abs(self._potential(psi, consts))
-            ).astype(self.tdtype)),
+            ).astype(self.tdtype)) * self.dt_init_bound_scale,
             phi_ref=pm0,
             norm0=self._norm_measure(psik),
             max_norm_err=scalars(jnp.zeros((), self.rdtype)),

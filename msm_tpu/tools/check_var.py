@@ -42,7 +42,6 @@ def ensemble_count_excess(
 def check_toml(
     toml: TomlParameters, data_root: str = "sim-data", dump: int | None = None
 ) -> dict[str, float]:
-    _, _ = determine_pmass_hbar(toml)
     particle_mass, _ = determine_pmass_hbar(toml)
     n_tot = toml.total_mass / particle_mass
     dv = (toml.axis_length / toml.size) ** toml.dims

@@ -226,6 +226,7 @@ def test_mxu_bf16x3_precision_mode(rng):
         m._PRECISION = saved
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n,batch", [(128, 2), (256, 1)])
 def test_fused_step_3d_matches_unfused_chain(rng, n, batch):
     """fused_step_3d's five passes — including the in-kernel reductions
@@ -288,6 +289,7 @@ def test_fused_step_3d_matches_unfused_chain(rng, n, batch):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n,batch", [(128, 2), (256, 1)])
 def test_fused_step_3d_skewed_matches_fused(rng, n, batch):
     """The skewed 4-pass step (pass A = fwd0 + reductions + kick + inv0 in

@@ -167,6 +167,7 @@ def _step_reference(psik_nat, k2, kick, vcoeff, pc, pf, cutoff):
     }
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("S", [512, 1024])
 def test_fused_step_composites_high_radix_axis0(rng, S):
     """The PRODUCTION composites — fused_step_3d, the skewed variant with

@@ -12,6 +12,10 @@ import sys
 import numpy as np
 import pytest
 
+# 2-process rendezvous with hard deadlines: slow AND contention-fragile
+# (280 s worker timeout, CLAUDE.md) - keep out of the fast lane
+pytestmark = pytest.mark.slow
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKER = """

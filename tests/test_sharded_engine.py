@@ -84,6 +84,7 @@ def _assert_state_match(m, r, atol=1e-12):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dtm", ["optimistic", "exact"])
 def test_sharded_engine_interval_equivalence(batch_psi0, dtm):
     """One dump interval through the (2,2,2)-mesh skewed evolve loop ==
@@ -138,6 +139,7 @@ def test_sharded_engine_slab_and_plain_step(batch_psi0):
         fft_ops.set_default_mode("xla")
 
 
+@pytest.mark.slow
 def test_sharded_engine_expanding(batch_psi0):
     """Expanding-universe steps (double half-kick, a advanced between) on
     the engine mesh path."""
@@ -184,6 +186,7 @@ def test_sharded_engine_gating():
         fft_ops.set_default_mode("xla")
 
 
+@pytest.mark.slow
 def test_sharded_engine_production_driver(tmp_path, monkeypatch):
     """The PRODUCTION driver (run_config mesh=auto -> MeshStepper engine
     path, interval-blocked mesh evolve, dump gather + manifests) over the
@@ -242,6 +245,7 @@ def test_sharded_engine_production_driver(tmp_path, monkeypatch):
         assert ma["current_dumps"] == 2
 
 
+@pytest.mark.slow
 def test_sharded_engine_radix2(rng):
     """R=2 (size 256) coverage: the radix butterflies' sharded s12 table
     slicing follows STORED engine order (residue-major chunks), which only
