@@ -24,11 +24,15 @@ import sys
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--size", type=int, default=256)
+    # size/steps default PER METRIC (benchmarks.main): kdk 256/100,
+    # scaling 64/5 — the scaling sweep scales the GLOBAL grid to keep
+    # size^dims per device, so kdk's 256 default would build >=512^3
+    # global grids on the CPU rehearsal (hours, not minutes)
+    parser.add_argument("--size", type=int, default=None)
     parser.add_argument("--dims", type=int, default=3)
     # default: 1 stream for the kdk metric, 128 for the ensemble metric
     parser.add_argument("--streams", type=int, default=None)
-    parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--steps", type=int, default=None)
     parser.add_argument(
         "--dt-mode",
         choices=("optimistic", "exact", "lagged", "all", "both"),

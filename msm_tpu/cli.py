@@ -256,10 +256,13 @@ def build_parser() -> argparse.ArgumentParser:
     syn.set_defaults(fn=cmd_synthesize)
 
     bench = sub.add_parser("bench", help="run performance benchmarks")
-    bench.add_argument("--size", type=int, default=256)
+    # size/steps default per metric (utils/benchmarks.main): kdk 256/100,
+    # scaling 64/5 (the sweep scales the GLOBAL grid to keep size^dims
+    # per device)
+    bench.add_argument("--size", type=int, default=None)
     bench.add_argument("--dims", type=int, default=3)
     bench.add_argument("--streams", type=int, default=1)
-    bench.add_argument("--steps", type=int, default=20)
+    bench.add_argument("--steps", type=int, default=None)
     bench.add_argument(
         "--metric", choices=("kdk", "streams", "scaling"), default="kdk"
     )

@@ -572,6 +572,13 @@ def _spawn_scaling_procs(args) -> None:
 
 def main(args) -> None:
     metric = getattr(args, "metric", "kdk")
+    # per-metric size/steps defaults (bench.py passes None): the scaling
+    # sweep holds size^dims per DEVICE, so it needs a much smaller base
+    # than the single-chip kdk grid
+    if getattr(args, "size", None) is None:
+        args.size = 64 if metric == "scaling" else 256
+    if getattr(args, "steps", None) is None:
+        args.steps = 5 if metric == "scaling" else 100
     if metric == "streams":
         wait_for_backend()
         _emit(run_ensemble_bench(streams=args.streams or 128))
