@@ -666,3 +666,43 @@ def main(args) -> None:
         )
         out[key] = {k: sub[k] for k in sub_keys}
         _emit(out)
+
+    # Budget-gated EXTRAS, same fail-soft contract (each re-emits the
+    # merged record): the ensemble streams/s point (the reference's
+    # headline ensemble shape — its seeds loop runs streams sequentially,
+    # main.rs:43-79) and the large-grid point at 2x the headline size
+    # (512^3 for the default — the reference's largest configured grid).
+    # One driver-captured artifact then carries the whole performance
+    # picture instead of needing separate bench invocations.
+    def _extra(key, need, fn):
+        remaining = budget_s - (time.monotonic() - t0)
+        if remaining < need:
+            out[key] = {
+                "skipped": (
+                    f"wall budget: {remaining:.0f}s left < {need:.0f}s "
+                    f"predicted (MSM_BENCH_BUDGET_S={budget_s:.0f})"
+                )
+            }
+        else:
+            _log(f"measuring {key} extra ({remaining:.0f}s budget left)...")
+            try:
+                out[key] = fn()
+            except Exception as e:  # noqa: BLE001 - extras must not kill the artifact
+                out[key] = {"error": f"{type(e).__name__}: {e}"}
+                _log(f"{key} extra failed: {out[key]['error']}")
+        _emit(out)
+
+    _extra(
+        "streams",
+        max(60.0, 1.5 * t_head) + 60.0,
+        lambda: run_ensemble_bench(streams=args.streams or 128),
+    )
+    _extra(
+        "large_grid",
+        # 8x the cells of the headline grid, plus compile slack
+        8.0 * 1.3 * t_head + 120.0,
+        lambda: run_kdk_bench(
+            2 * args.size, args.dims, args.streams or 1, args.steps,
+            dt_mode="optimistic",
+        ),
+    )

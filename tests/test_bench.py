@@ -58,8 +58,8 @@ def test_zero_budget_emits_headline_then_skips_submodes():
     # this is the line a timeout would leave behind
     assert "exact_dt" not in head
     last = records[-1]
-    assert "skipped" in last["exact_dt"]
-    assert "skipped" in last["lagged_dt"]
+    for key in ("exact_dt", "lagged_dt", "streams", "large_grid"):
+        assert "skipped" in last[key], key
     assert "wall budget" in last["exact_dt"]["skipped"]
     # every intermediate record is itself complete and parseable, and the
     # headline fields never change across re-emits
@@ -70,15 +70,22 @@ def test_zero_budget_emits_headline_then_skips_submodes():
 
 
 def test_full_budget_merges_all_submodes():
-    records, _ = _run_bench({"MSM_BENCH_BUDGET_S": "100000"})
+    # --streams 8 keeps the ensemble extra small on CPU (128 default)
+    records, _ = _run_bench({"MSM_BENCH_BUDGET_S": "100000"}, "--streams", "8")
     last = records[-1]
     assert last["exact_dt"]["value"] > 0
     assert last["lagged_dt"]["value"] > 0
     for sub in (last["exact_dt"], last["lagged_dt"]):
         for key in ("value", "vs_baseline", "vs_dma_bound", "steps_per_s"):
             assert key in sub
-    # three emits: headline, +exact, +lagged
-    assert len(records) == 3
+    # budget-gated extras rode along: the ensemble point and the 2x-size
+    # large-grid point (512^3 on the production defaults)
+    assert last["streams"]["metric"] == "streams_per_s"
+    assert last["streams"]["value"] > 0
+    assert last["large_grid"]["value"] > 0
+    assert "32^3" in last["large_grid"]["unit"]
+    # five emits: headline, +exact, +lagged, +streams, +large_grid
+    assert len(records) == 5
 
 
 def test_single_mode_flag_unchanged():
