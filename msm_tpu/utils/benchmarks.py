@@ -570,15 +570,21 @@ def _spawn_scaling_procs(args) -> None:
         raise RuntimeError(f"scaling workers failed: rc={rcs}")
 
 
-def main(args) -> None:
+def resolve_metric_defaults(args) -> None:
+    """Per-metric size/steps defaults (bench.py passes None): the scaling
+    sweep holds size^dims per DEVICE and scales the GLOBAL grid up to
+    match, so it needs a much smaller base than the single-chip kdk grid
+    (inheriting kdk's 256 once built >=512^3 global CPU grids)."""
     metric = getattr(args, "metric", "kdk")
-    # per-metric size/steps defaults (bench.py passes None): the scaling
-    # sweep holds size^dims per DEVICE, so it needs a much smaller base
-    # than the single-chip kdk grid
     if getattr(args, "size", None) is None:
         args.size = 64 if metric == "scaling" else 256
     if getattr(args, "steps", None) is None:
         args.steps = 5 if metric == "scaling" else 100
+
+
+def main(args) -> None:
+    metric = getattr(args, "metric", "kdk")
+    resolve_metric_defaults(args)
     if metric == "streams":
         wait_for_backend()
         _emit(run_ensemble_bench(streams=args.streams or 128))

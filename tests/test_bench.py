@@ -88,6 +88,24 @@ def test_full_budget_merges_all_submodes():
     assert len(records) == 5
 
 
+def test_per_metric_default_resolution():
+    """The scaling metric must NOT inherit the kdk grid defaults: 256^3
+    per device scales the global rehearsal grid to >=512^3 on CPU."""
+    from types import SimpleNamespace
+
+    from msm_tpu.utils.benchmarks import resolve_metric_defaults
+
+    kdk = SimpleNamespace(metric="kdk", size=None, steps=None)
+    resolve_metric_defaults(kdk)
+    assert (kdk.size, kdk.steps) == (256, 100)
+    scaling = SimpleNamespace(metric="scaling", size=None, steps=None)
+    resolve_metric_defaults(scaling)
+    assert (scaling.size, scaling.steps) == (64, 5)
+    explicit = SimpleNamespace(metric="scaling", size=32, steps=3)
+    resolve_metric_defaults(explicit)
+    assert (explicit.size, explicit.steps) == (32, 3)
+
+
 def test_single_mode_flag_unchanged():
     records, _ = _run_bench({}, "--dt-mode", "lagged")
     assert len(records) == 1
