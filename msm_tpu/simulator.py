@@ -171,6 +171,44 @@ def _interval_block_k(
     return max(1, min(int(budget // max(per_interval, 1)), 32, max_k))
 
 
+def _chunk_steps_per_dispatch(params, n_batch: int, dtype, kblock: int) -> int:
+    """Max evolve-loop iterations per dispatch (0 = unbounded).
+
+    Big-grid worker-watchdog workaround (stepper.evolve_bounded
+    docstring): on the tunneled TPU backend a single long-running
+    while_loop dispatch crashes the worker at 512^3 — the 4-dump
+    spherical-tophat collapse died at its ~170-step interval in every
+    combination of dt mode, MSM_FFT path and interval blocking, while
+    the same run with 40 dumps (<=34-step loops) completed (round 5,
+    BASELINE.md). Statically-bounded fori_loop chains of 59 s pass, so
+    this is specific to dynamic loops. Default: bound dispatches to 32
+    iterations once the batched state reaches MSM_CHUNK_BYTES (1 GiB —
+    512^3 c64 and up; 256^3 has run 150+-step intervals on chip for
+    rounds without issue). MSM_MAX_STEPS_PER_DISPATCH overrides (0
+    disables). Only the kblock == 1 paths chunk — blocked scans imply a
+    small-payload (small-grid) run by construction."""
+    env = os.environ.get("MSM_MAX_STEPS_PER_DISPATCH")
+    if env is not None:
+        return max(0, int(env))
+    if kblock != 1:
+        return 0
+    grid = n_batch * int(np.prod(params.shape)) * jnp.dtype(dtype).itemsize
+    limit = float(os.environ.get("MSM_CHUNK_BYTES", 2**30))
+    return 32 if grid >= limit else 0
+
+
+def _bounded_prelude(stepper, state, chunk: int, donate: bool = True):
+    """Advance the current dump interval in `chunk`-step dispatches until
+    every stream reaches its boundary; the caller's normal interval
+    dispatch then completes trivially (its evolve loop exits immediately)
+    and produces the payload/snap exactly as without chunking. The `more`
+    scalar fetch both syncs each chunk and decides the loop."""
+    while True:
+        state, more = stepper.evolve_bounded(state, chunk, donate=donate)
+        if not bool(np.asarray(more)):
+            return state
+
+
 def _speculation_ok(
     params, n_batch: int, dtype, kblock: int, donated: bool = True
 ) -> bool:
@@ -653,12 +691,23 @@ def run_single(
         want_pot = bool(params.output_potential)
         prev_steps = int(np.asarray(state.n_steps))
 
+        chunk = (
+            _chunk_steps_per_dispatch(params, 1, dtype, kblock)
+            if hasattr(stepper, "evolve_bounded")
+            else 0
+        )
+
         def _advance(s):
             # One dispatch advances kblock dump intervals (lax.scan) and
             # returns their stacked dump payloads — on remote/tunneled
             # backends the per-dump host round trip is paid once per block.
             # snap (inside the scan body) is just_dumped-gated, so it is a
             # no-op on alias-aborted mid-interval states.
+            if chunk:
+                # big-grid watchdog workaround: step the interval in
+                # bounded dispatches first; the evolve_intervals call then
+                # exits its loop immediately and only builds the payload
+                s = _bounded_prelude(stepper, s, chunk)
             return stepper.evolve_intervals(s, kblock, with_potential=want_pot)
 
         speculate = _speculation_ok(params, 1, dtype, kblock)
@@ -1151,7 +1200,20 @@ def run_config(
                         speculative if speculate else _advance_blocks(state)
                     )
 
+        chunk1 = (
+            _chunk_steps_per_dispatch(
+                mft_params, int(state.psi.shape[0]), dtype, 1
+            )
+            if hasattr(stepper, "evolve_bounded")
+            else 0
+        )
+
         def _advance_batched(s):
+            if chunk1:
+                # big-grid watchdog workaround; donate=False — this
+                # loop's payload views still read the state it passes in
+                # (speculative dispatch order below)
+                s = _bounded_prelude(stepper, s, chunk1, donate=False)
             raw = stepper.evolve_to_next_dump(s, batched=True)
             return raw, stepper.snap_after_dump(raw)
 

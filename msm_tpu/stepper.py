@@ -410,6 +410,7 @@ class Stepper:
         # dispatch affordable at 512^3 (simulator._speculation_ok).
         self._jit_evolve = jax.jit(self._evolve_to_next_dump)
         self._interval_jits: dict = {}
+        self._bounded_jits: dict = {}
         self._jit_potential = jax.jit(self._potential)
         self._jit_snap = jax.jit(self._snap_after_dump)
         self._jit_init = jax.jit(self._init_from_planes)
@@ -1152,7 +1153,10 @@ class Stepper:
         return body
 
     def _evolve_to_next_dump_skewed(
-        self, state: SimState, consts: StepConsts
+        self,
+        state: SimState,
+        consts: StepConsts,
+        max_steps: "int | None" = None,
     ) -> SimState:
         """The fused-path evolve loop, skewed by half a pass (see
         fused_step_3d_skewed; exact mode prepends fused_step_exact_prefix
@@ -1166,9 +1170,10 @@ class Stepper:
         finished = state.current_dumps >= p.num_data_dumps
         batched = state.psi.ndim > p.dims
         dkd = jnp.asarray(p.dk**p.dims, self.rdtype)
+        cap = self._iteration_cap(state, max_steps)
 
         def cond(s: SimState):
-            return jnp.any(self._active(s, finished))
+            return jnp.any(self._active(s, finished)) & cap(s)
 
         def evolve() -> SimState:
             qr, qi = self.engine.skew_enter(state.psik)
@@ -1227,11 +1232,36 @@ class Stepper:
 
         return jax.tree_util.tree_map(pick, new, old)
 
+    def _iteration_cap(self, state: SimState, max_steps):
+        """Loop-condition factor bounding the ITERATIONS of one evolve
+        dispatch (None = unbounded, the default). Iterations are counted
+        as accepted steps + optimistic replays since dispatch entry,
+        maxed over streams — n_steps alone would let a replay burst run
+        past the cap. Used by `evolve_bounded` (the big-grid
+        worker-watchdog workaround, simulator._chunk_steps_per_dispatch:
+        long-running DYNAMIC loops kill the tunneled TPU worker at 512^3
+        — a ~9 s while_loop dispatch dies while 59 s fori_loop chains
+        and <=2 s while_loops pass, measured round 5)."""
+        if max_steps is None:
+            return lambda s: jnp.asarray(True)
+        n0, r0 = state.n_steps, state.replays
+
+        def cap(s: SimState):
+            it = (s.n_steps - n0) + (s.replays - r0)
+            return jnp.max(it) < max_steps
+
+        return cap
+
     def _evolve_to_next_dump(
-        self, state: SimState, consts: StepConsts | None = None
+        self,
+        state: SimState,
+        consts: StepConsts | None = None,
+        max_steps: "int | None" = None,
     ) -> SimState:
         """Advance every active stream until its step lands on the next dump
-        boundary (or it aliases).
+        boundary (or it aliases), optionally bounded to `max_steps` loop
+        iterations (see `_iteration_cap`; a capped exit leaves a
+        mid-interval state that re-enters this loop unchanged).
 
         The loop exit mirrors the reference's dump flag: the step that took
         `time_to_next_dump` as its dt sets just_dumped (get_timestep,
@@ -1242,12 +1272,15 @@ class Stepper:
         """
         consts = consts if consts is not None else self.consts
         if self.skew:
-            return self._evolve_to_next_dump_skewed(state, consts)
+            return self._evolve_to_next_dump_skewed(
+                state, consts, max_steps=max_steps
+            )
         finished = state.current_dumps >= self.params.num_data_dumps
         batched = state.psi.ndim > self.params.dims
+        cap = self._iteration_cap(state, max_steps)
 
         def cond(s: SimState):
-            return jnp.any(self._active(s, finished))
+            return jnp.any(self._active(s, finished)) & cap(s)
 
         if batched:
             # per-stream freeze: blend advanced and frozen streams — but in
@@ -1270,6 +1303,50 @@ class Stepper:
     def evolve_to_next_dump(self, state: SimState, batched: bool = False) -> SimState:
         del batched  # the step is batch-generic; kept for API compatibility
         return self._jit_evolve(state, self.consts)
+
+    def evolve_bounded(
+        self, state: SimState, max_steps: int, donate: bool = True
+    ):
+        """Advance AT MOST `max_steps` loop iterations toward the next
+        dump boundary; returns (state, more) where `more` is True while
+        any stream is still mid-interval (neither dumped, aliased nor
+        finished). The driver loops on `more` and then runs the normal
+        interval dispatch, whose evolve loop exits immediately and
+        produces the dump payload/snap/combine row unchanged.
+
+        This exists as the big-grid worker-watchdog workaround
+        (simulator._chunk_steps_per_dispatch): on the tunneled TPU
+        backend a single long-running DYNAMIC (while_loop) dispatch kills
+        the worker at 512^3 — measured round 5: ~170-step/9 s interval
+        loops die in every combination of dt mode, compute path
+        (mxu/xla) and blocking, while <=34-step/1.8 s loops and even
+        59 s statically-bounded fori chains pass. Bounding the per-
+        dispatch iterations keeps the production driver inside the safe
+        envelope at the cost of one host round trip per chunk. A capped
+        exit leaves a consistent mid-interval state (the skewed loop's
+        exit materializes psi/psik and applies any deferred kick, so
+        trajectories equal the unchunked ones to rounding —
+        tests/test_stepper.py::test_bounded_evolve_chunks_match).
+
+        With `donate` the input state is consumed like evolve_intervals'
+        (set False when the caller still holds fetchable references, e.g.
+        the batched fallback loop whose payload views read the state)."""
+        key = (int(max_steps), bool(donate))
+        fn = self._bounded_jits.get(key)
+        if fn is None:
+            n_dumps = self.params.num_data_dumps
+
+            def run(s, consts):
+                out = self._evolve_to_next_dump(
+                    s, consts, max_steps=key[0]
+                )
+                finished = out.current_dumps >= n_dumps
+                return out, jnp.any(self._active(out, finished))
+
+            donate_argnums = (0,) if (key[1] and _donate_enabled()) else ()
+            fn = jax.jit(run, donate_argnums=donate_argnums)
+            self._bounded_jits[key] = fn
+        return fn(state, self.consts)
 
     def _evolve_intervals(
         self,

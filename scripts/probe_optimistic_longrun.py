@@ -22,18 +22,22 @@ from msm_tpu import simulator
 
 
 def main():
+    import sys
+
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    dumps = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     toml = cfg.parse_toml_dict(
         dict(
             axis_length=30.0,
             final_sim_time=40.0,
             cfl=0.5,
-            num_data_dumps=4,
+            num_data_dumps=dumps,
             total_mass=1e11,
             sim_name="optlong",
             k2_cutoff=0.95,
             alias_threshold=0.5,
             dims=3,
-            size=256,
+            size=size,
             hbar_=0.05,
             ics={"type": "SphericalTophat", "radius": 5.0, "slope": 50, "delta": 100},
         )
@@ -54,7 +58,7 @@ def main():
         "n_steps", "replays", "current_dumps", "max_norm_err") if k in man},
         flush=True)
     # dump files carry no .npy extension (reference naming convention)
-    arr = np.load(os.path.join(root, "optlong", "psi_00004_real"))
+    arr = np.load(os.path.join(root, "optlong", f"psi_{dumps:05d}_real"))
     print("final dump shape", arr.shape, "finite:", np.isfinite(arr).all(), flush=True)
     replay_rate = man.get("replays", 0) / max(man.get("n_steps", 1), 1)
     print(f"replay rate {replay_rate:.4f} over {man.get('n_steps')} steps", flush=True)

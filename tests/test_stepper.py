@@ -277,6 +277,47 @@ def test_optimistic_dt_potential_bound_validation_and_replay():
     ) == pytest.approx(1.0, abs=1e-10)
 
 
+def test_bounded_evolve_chunks_match():
+    """evolve_bounded (the big-grid worker-watchdog workaround,
+    simulator._chunk_steps_per_dispatch) must reproduce the unchunked
+    interval: stepping a potential-bound interval in 3-iteration chunks
+    and finishing with the normal evolve gives the same trajectory,
+    counters and replay totals as one unbounded dispatch."""
+    p = _params(
+        dims=3, size=16, total_mass=5e12, num_data_dumps=2,
+        final_sim_time=0.5, cfl=0.4, alias_threshold=0.5,
+    )
+    psi0 = np.asarray(ics.build_ics(p))
+    st = Stepper(p, jnp.complex128, dt_mode="optimistic")
+    ref = st.evolve_to_next_dump(st.init_state(psi0))
+    assert int(ref.n_steps) > 3  # the cap actually splits the interval
+
+    s = st.init_state(psi0)
+    chunks = 0
+    while True:
+        s, more = st.evolve_bounded(s, 3, donate=False)
+        chunks += 1
+        if not bool(np.asarray(more)):
+            break
+    assert chunks > 1
+    # the trailing evolve call exits immediately on the completed interval
+    s2 = st.evolve_to_next_dump(s)
+    for final in (s, s2):
+        np.testing.assert_array_equal(
+            np.asarray(final.n_steps), np.asarray(ref.n_steps)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(final.replays), np.asarray(ref.replays)
+        )
+        assert bool(np.asarray(final.just_dumped))
+        np.testing.assert_allclose(
+            np.asarray(final.time), np.asarray(ref.time), rtol=1e-14
+        )
+        np.testing.assert_allclose(
+            np.asarray(final.psik), np.asarray(ref.psik), atol=1e-13
+        )
+
+
 def test_dt_init_bound_scale_env_knob(monkeypatch):
     """MSM_DT_INIT_BOUND_SCALE < 1 understates the INITIAL carried bound
     through the production init path (no state surgery), deterministically
